@@ -1,0 +1,503 @@
+"""ColoredDBG — the public colored de Bruijn graph index (bft.h parity).
+
+This is the TPU-native equivalent of the reference's public API surface
+(``include/bft.h`` / ``src/bft.c``): one host-side object owning device-side
+state (sorted k-mer table, color-class dictionary, Bloom plane) and exposing
+create / insert / query / neighbors / iterate / mark / save / load.
+
+API mapping (reference -> here):
+  create_cdbg (bft.c:12)                 -> ColoredDBG(BFTConfig(k=...))
+  insert_genomes_from_files (bft.c)      -> drivers in utils/drivers.py
+  insert_kmers_new_genome (bft.c)        -> insert_genome / start_genome+insert
+  get_kmer (bft.c:216)                   -> query_kmers / find
+  is_kmer_in_cdbg (bft.c:246)            -> contains
+  get_annotation (bft.c:363)             -> get_colors (bitmap row)
+  get_list_id_genomes (bft.c:622)        -> list_id_genomes
+  get_count_id_genomes                   -> count_id_genomes
+  intersection/union/sym_difference_annotations -> annotation_* (bitwise)
+  query_sequence (bft.c:1241)            -> query_sequence
+  get_neighbors/successors/predecessors (bft.c:804) -> successors/predecessors
+  iterate_over_kmers (bft.c:1051)        -> iterate_over_kmers
+  prefix_matching (bft.c:1096)           -> prefix_matching
+  set_marking/set_flag_kmer (bft.c)      -> set_flags/get_flags
+  extract_kmers_to_disk (bft.c:255)      -> utils/drivers.py
+  write_BFT/load_BFT (bft.c)             -> save / ColoredDBG.load
+  create_cdbg_from_bft_kmers (bft.c:1353)-> subgraph
+"""
+
+from __future__ import annotations
+
+import functools
+import json
+import math
+import os
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from bloomfiltertrie_tpu.config import BFTConfig
+from bloomfiltertrie_tpu.models import graph as graph_ops
+from bloomfiltertrie_tpu.models import table as tbl
+from bloomfiltertrie_tpu.ops import bloom as bloom_ops
+from bloomfiltertrie_tpu.ops import codec
+from bloomfiltertrie_tpu.ops import sortedset as ss
+
+
+def _next_pow2(x: int) -> int:
+    return 1 << max(int(x) - 1, 0).bit_length() if x > 1 else 1
+
+
+@functools.partial(jax.jit, donate_argnums=(0,))
+def _append_singleton(colors, genome_id):
+    return tbl.append_singleton_class(colors, genome_id)
+
+
+@jax.jit
+def _query_colors(table_keys, n, color_ref, rows, queries, valid):
+    """found[M], class id[M], color bitmap uint32[M, cw]."""
+    found, idx = ss.lookup(table_keys, n, queries)
+    found = found & valid
+    cls = jnp.where(found, color_ref[idx], -1)
+    bitmap = jnp.where(found[:, None], rows[jnp.maximum(cls, 0)], 0)
+    return found, idx, cls, bitmap
+
+
+@jax.jit
+def _presence_only(table_keys, n, queries, valid):
+    found, idx = ss.lookup(table_keys, n, queries)
+    return found & valid, idx
+
+
+@jax.jit
+def _color_counts(bitmap):
+    """Per-genome-bit counts over a batch of color bitmaps [M, cw] -> [cw*32]."""
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    bits = (bitmap[:, :, None] >> shifts[None, None, :]) & 1
+    return jnp.sum(bits.astype(jnp.int32), axis=0).reshape(-1)
+
+
+class BFTAnnotation:
+    """A decoded color set (reference ``BFT_annotation``): a genome bitmap."""
+
+    __slots__ = ("bitmap", "nb_genomes")
+
+    def __init__(self, bitmap: np.ndarray, nb_genomes: int):
+        self.bitmap = np.asarray(bitmap, dtype=np.uint32)
+        self.nb_genomes = nb_genomes
+
+    def list_id_genomes(self) -> np.ndarray:
+        """Sorted genome ids (reference get_list_id_genomes bft.c:622)."""
+        bits = np.unpackbits(
+            self.bitmap.view(np.uint8), bitorder="little")[: self.nb_genomes]
+        return np.nonzero(bits)[0].astype(np.uint32)
+
+    def count_id_genomes(self) -> int:
+        return int(self.list_id_genomes().size)
+
+    def presence_genome(self, gid: int) -> bool:
+        if gid >= self.nb_genomes:
+            return False
+        return bool((self.bitmap[gid >> 5] >> (gid & 31)) & 1)
+
+
+class ColoredDBG:
+    def __init__(self, config: BFTConfig):
+        self.config = config
+        self.genome_names: list[str] = []
+        w = config.words
+        self.table = tbl.empty_table(config.initial_capacity, w)
+        self.colors = tbl.empty_colors(config.initial_color_capacity, 1)
+        self.bloom = bloom_ops.empty_bits(config.bloom_log2_bits)
+        self._n = 0           # host mirror of table.n
+        self._d = 0           # host mirror of colors.d
+        self._cur_singleton = None   # class id of {current genome}
+        self._genomes_since_compress = 0
+        self.marking_enabled = False
+
+    # ------------------------------------------------------------------
+    # basics
+    # ------------------------------------------------------------------
+    @property
+    def k(self) -> int:
+        return self.config.k
+
+    @property
+    def nb_genomes(self) -> int:
+        return len(self.genome_names)
+
+    @property
+    def nb_kmers(self) -> int:
+        return self._n
+
+    @property
+    def nb_color_classes(self) -> int:
+        return self._d
+
+    # ------------------------------------------------------------------
+    # capacity management (replaces the reference's realloc/burst logic)
+    # ------------------------------------------------------------------
+    def _ensure_table(self, extra: int):
+        need = self._n + extra
+        if need > self.table.capacity:
+            self.table = tbl.grow_table(self.table, _next_pow2(need))
+
+    def _ensure_colors(self, extra: int, genomes: int | None = None):
+        g = self.nb_genomes if genomes is None else genomes
+        width = max(1, _next_pow2(math.ceil(max(g, 1) / 32)))
+        need = self._d + extra
+        dcap = self.colors.capacity
+        if need > dcap or width > self.colors.width:
+            self.colors = tbl.grow_colors(
+                self.colors, max(_next_pow2(need), dcap), max(width, self.colors.width))
+
+    # ------------------------------------------------------------------
+    # genome insertion (reference insert path, SURVEY §4.1)
+    # ------------------------------------------------------------------
+    def start_genome(self, name: str) -> int:
+        """Open a new genome; id = insertion order (src/file_io.c:124-125)."""
+        gid = len(self.genome_names)
+        self.genome_names.append(name)
+        self._ensure_colors(1, genomes=gid + 1)
+        self.colors, cls = _append_singleton(
+            self.colors, jnp.asarray(gid, dtype=jnp.int32))
+        self._cur_singleton = int(jax.device_get(cls))
+        self._d += 1
+        return gid
+
+    def insert_kmers_packed(self, packed: np.ndarray, valid: np.ndarray | None = None):
+        """Insert packed k-mers [M, W] into the current genome, batched."""
+        if self._cur_singleton is None:
+            raise RuntimeError("call start_genome() before inserting k-mers")
+        packed = np.asarray(packed, dtype=np.uint32)
+        if valid is None:
+            valid = np.ones(packed.shape[0], dtype=bool)
+        bsz = self.config.batch_size
+        gid = len(self.genome_names) - 1
+        cfg = self.config
+        for off in range(0, packed.shape[0], bsz):
+            chunk = packed[off: off + bsz]
+            vchunk = valid[off: off + bsz]
+            if chunk.shape[0] < bsz:  # pad for a stable jit shape
+                pad = bsz - chunk.shape[0]
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+                vchunk = np.pad(vchunk, (0, pad))
+            self._ensure_table(bsz)
+            self._ensure_colors(bsz)
+            self.table, self.colors, self.bloom, stats = tbl.insert_batch(
+                self.table, self.colors, self.bloom,
+                jnp.asarray(chunk), jnp.asarray(vchunk),
+                jnp.asarray(gid, dtype=jnp.int32),
+                jnp.asarray(self._cur_singleton, dtype=jnp.int32),
+                cfg.bloom_log2_bits,
+                jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
+                jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32))
+            s = jax.device_get(stats)
+            self._n = int(s["n"])
+            self._d = int(s["d"])
+
+    def end_genome(self):
+        """Close the current genome; run color compression on cadence.
+
+        Reference: annotation compression runs after the last genome / every
+        ``treshold_compression`` genomes (src/file_io.c:192-193, Node.h:116).
+        """
+        self._cur_singleton = None
+        self._genomes_since_compress += 1
+        if (self.config.treshold_compression > 0 and
+                self._genomes_since_compress >= self.config.treshold_compression):
+            self.compress_colors()
+
+    def insert_genome(self, name: str, packed: np.ndarray,
+                      valid: np.ndarray | None = None):
+        self.start_genome(name)
+        self.insert_kmers_packed(packed, valid)
+        self.end_genome()
+
+    def insert_kmer_strings(self, name: str, kmers: list[str]):
+        packed, valid = codec.encode_strings(kmers, self.k)
+        self.insert_genome(name, packed, valid)
+
+    def compress_colors(self):
+        self.table, self.colors = tbl.compress_colors(self.table, self.colors)
+        self._d = int(jax.device_get(self.colors.d))
+        self._genomes_since_compress = 0
+
+    # ------------------------------------------------------------------
+    # point queries
+    # ------------------------------------------------------------------
+    def query_kmers_packed(self, packed, valid=None):
+        """(found bool[M], color bitmaps uint32[M, cw]) for packed queries."""
+        packed = jnp.asarray(packed, dtype=jnp.uint32)
+        if valid is None:
+            valid = jnp.ones(packed.shape[0], dtype=bool)
+        else:
+            valid = jnp.asarray(valid, dtype=bool)
+        found, _, _, bitmap = _query_colors(
+            self.table.keys, self.table.n, self.table.color_ref,
+            self.colors.rows, packed, valid)
+        return np.asarray(found), np.asarray(bitmap)
+
+    def contains(self, kmer: str) -> bool:
+        packed, valid = codec.encode_strings([kmer], self.k)
+        found, _ = _presence_only(self.table.keys, self.table.n,
+                                  jnp.asarray(packed), jnp.asarray(valid))
+        return bool(jax.device_get(found)[0])
+
+    def get_colors(self, kmer: str) -> BFTAnnotation | None:
+        """Reference get_annotation (bft.c:363): None if k-mer absent."""
+        packed, valid = codec.encode_strings([kmer], self.k)
+        found, bitmap = self.query_kmers_packed(packed, np.asarray(valid))
+        if not found[0]:
+            return None
+        return BFTAnnotation(bitmap[0], self.nb_genomes)
+
+    # annotation set ops (reference intersection/union/sym_difference_annotations)
+    def annotation_intersection(self, *annots: BFTAnnotation) -> BFTAnnotation:
+        out = annots[0].bitmap.copy()
+        for a in annots[1:]:
+            out &= a.bitmap
+        return BFTAnnotation(out, self.nb_genomes)
+
+    def annotation_union(self, *annots: BFTAnnotation) -> BFTAnnotation:
+        out = annots[0].bitmap.copy()
+        for a in annots[1:]:
+            out |= a.bitmap
+        return BFTAnnotation(out, self.nb_genomes)
+
+    def annotation_sym_difference(self, *annots: BFTAnnotation) -> BFTAnnotation:
+        out = annots[0].bitmap.copy()
+        for a in annots[1:]:
+            out ^= a.bitmap
+        return BFTAnnotation(out, self.nb_genomes)
+
+    # ------------------------------------------------------------------
+    # sequence query (reference query_sequence bft.c:1241)
+    # ------------------------------------------------------------------
+    def query_sequence(self, sequence: str | bytes, threshold: float,
+                       canonical_search: bool) -> np.ndarray:
+        """Genome ids whose k-mer hit count >= ceil(threshold * (L-k+1)).
+
+        Early abort in the reference only short-circuits an inevitable empty
+        answer; computing full counts is equivalent (and batch-friendly).
+        """
+        if not (0 < threshold <= 1):
+            raise ValueError("threshold must be in (0, 1]")
+        seq = sequence.encode() if isinstance(sequence, str) else sequence
+        nb_windows = len(seq) - self.k + 1
+        if nb_windows <= 0:
+            return np.zeros((0,), dtype=np.uint32)
+        need = math.ceil(nb_windows * threshold)
+        packed, valid = codec.kmerize_sequence(seq, self.k)
+        if canonical_search:
+            packed = codec.canonical_packed(packed, self.k)
+        _, bitmap = self.query_kmers_packed(packed, valid)
+        counts = np.asarray(_color_counts(jnp.asarray(bitmap)))
+        hits = np.nonzero(counts[: self.nb_genomes] >= need)[0]
+        return hits.astype(np.uint32)
+
+    # ------------------------------------------------------------------
+    # graph topology (reference branchingNode.c / presenceNode.c)
+    # ------------------------------------------------------------------
+    def neighbor_presence_packed(self, packed, valid=None):
+        packed = jnp.asarray(packed, dtype=jnp.uint32)
+        if valid is None:
+            valid = jnp.ones(packed.shape[0], dtype=bool)
+        else:
+            valid = jnp.asarray(valid, dtype=bool)
+        sf, si, pf, pi = graph_ops.neighbor_presence(
+            self.table.keys, self.table.n, packed, valid, self.k)
+        return (np.asarray(sf), np.asarray(si), np.asarray(pf), np.asarray(pi))
+
+    def successors(self, kmer: str) -> list[str]:
+        packed, valid = codec.encode_strings([kmer], self.k)
+        sf, _, _, _ = self.neighbor_presence_packed(packed, np.asarray(valid))
+        succ, _ = graph_ops.neighbor_candidates(jnp.asarray(packed), self.k)
+        cands = np.asarray(succ)[0]
+        return [codec.decode_strings(cands[b:b + 1], self.k)[0]
+                for b in range(4) if sf[0, b]]
+
+    def predecessors(self, kmer: str) -> list[str]:
+        packed, valid = codec.encode_strings([kmer], self.k)
+        _, _, pf, _ = self.neighbor_presence_packed(packed, np.asarray(valid))
+        _, pred = graph_ops.neighbor_candidates(jnp.asarray(packed), self.k)
+        cands = np.asarray(pred)[0]
+        return [codec.decode_strings(cands[b:b + 1], self.k)[0]
+                for b in range(4) if pf[0, b]]
+
+    def neighbors(self, kmer: str) -> list[str]:
+        return self.predecessors(kmer) + self.successors(kmer)
+
+    def branching_count_packed(self, packed, valid=None) -> int:
+        """Count branching query k-mers (reference file_io.c:943-948)."""
+        packed = jnp.asarray(packed, dtype=jnp.uint32)
+        if valid is None:
+            valid = jnp.ones(packed.shape[0], dtype=bool)
+        else:
+            valid = jnp.asarray(valid, dtype=bool)
+        mask = graph_ops.branching_mask(
+            self.table.keys, self.table.n, packed, valid, self.k)
+        return int(jax.device_get(jnp.sum(mask.astype(jnp.int32))))
+
+    # ------------------------------------------------------------------
+    # iteration / extraction (reference iterate_over_kmers bft.c:1051)
+    # ------------------------------------------------------------------
+    def extract_kmers_packed(self) -> np.ndarray:
+        """All k-mers, sorted, packed [n, W].  (Set-equal to reference DFS.)"""
+        return np.asarray(jax.device_get(self.table.keys))[: self._n]
+
+    def extract_kmer_strings(self) -> list[str]:
+        return codec.decode_strings(self.extract_kmers_packed(), self.k)
+
+    def iterate_over_kmers(self, fn, chunk: int = 65536):
+        """Call ``fn(kmer_str, annotation, flag)`` for every k-mer."""
+        for off in range(0, self._n, chunk):
+            hi = min(off + chunk, self._n)
+            keys = np.asarray(self.table.keys[off:hi])
+            cls = np.asarray(self.table.color_ref[off:hi])
+            flags = np.asarray(self.table.flags[off:hi])
+            rows = np.asarray(self.colors.rows[np.maximum(cls, 0)])
+            strs = codec.decode_strings(keys, self.k)
+            for i, s in enumerate(strs):
+                fn(s, BFTAnnotation(rows[i], self.nb_genomes), int(flags[i]))
+
+    def prefix_matching(self, prefix: str) -> np.ndarray:
+        """Packed k-mers with the given prefix (reference bft.c:1096).
+
+        Sorted order makes this a contiguous range: [prefix+A..A, prefix+T..T].
+        """
+        p = len(prefix)
+        if p > self.k:
+            raise ValueError("prefix longer than k")
+        lo_s = prefix + "A" * (self.k - p)
+        hi_s = prefix + "T" * (self.k - p)
+        packed, valid = codec.encode_strings([lo_s, hi_s], self.k)
+        if not valid.all():
+            raise ValueError("prefix contains non-ACGT characters")
+        lo = int(jax.device_get(ss.searchsorted(
+            self.table.keys, jnp.asarray(packed[:1]), side="left"))[0])
+        hi = int(jax.device_get(ss.searchsorted(
+            self.table.keys, jnp.asarray(packed[1:]), side="right"))[0])
+        hi = min(hi, self._n)
+        return np.asarray(self.table.keys[lo:hi])
+
+    # ------------------------------------------------------------------
+    # marking (reference src/marking.c 2-bit flag planes)
+    # ------------------------------------------------------------------
+    def set_marking(self):
+        self.marking_enabled = True
+
+    def unset_marking(self):
+        self.marking_enabled = False
+        self.table.flags = jnp.zeros_like(self.table.flags)
+
+    def set_flags_packed(self, packed, flag: int, valid=None):
+        if not (0 <= flag <= 3):
+            raise ValueError("flags are 2-bit (4 states), like marking.c")
+        packed = jnp.asarray(packed, dtype=jnp.uint32)
+        if valid is None:
+            valid = jnp.ones(packed.shape[0], dtype=bool)
+        else:
+            valid = jnp.asarray(valid, dtype=bool)
+        found, idx = _presence_only(self.table.keys, self.table.n, packed, valid)
+        dest = jnp.where(found, idx, self.table.capacity)
+        self.table.flags = self.table.flags.at[dest].set(
+            jnp.uint8(flag), mode="drop")
+
+    def get_flags_packed(self, packed, valid=None) -> np.ndarray:
+        packed = jnp.asarray(packed, dtype=jnp.uint32)
+        if valid is None:
+            valid = jnp.ones(packed.shape[0], dtype=bool)
+        else:
+            valid = jnp.asarray(valid, dtype=bool)
+        found, idx = _presence_only(self.table.keys, self.table.n, packed, valid)
+        return np.asarray(jnp.where(found, self.table.flags[idx], 0))
+
+    # ------------------------------------------------------------------
+    # subgraph (reference create_cdbg_from_bft_kmers bft.c:1353)
+    # ------------------------------------------------------------------
+    def subgraph(self, packed, add_colors: bool = True) -> "ColoredDBG":
+        packed = np.asarray(packed, dtype=np.uint32)
+        found, bitmap = self.query_kmers_packed(packed)
+        keep = packed[found]
+        sub = ColoredDBG(self.config)
+        if add_colors:
+            bm = bitmap[found]
+            # Re-insert per genome so ids rebuild in the same insertion order.
+            for gid, name in enumerate(self.genome_names):
+                has = ((bm[:, gid >> 5] >> np.uint32(gid & 31)) & 1) == 1
+                sub.insert_genome(name, keep[has])
+        else:
+            sub.insert_genome("subgraph", keep)
+        return sub
+
+    # ------------------------------------------------------------------
+    # persistence (reference write_BFT_Root/read_BFT_Root write_to_disk.c:21,260)
+    # ------------------------------------------------------------------
+    def save(self, path: str):
+        n, d = self._n, self._d
+        np.savez_compressed(
+            path if path.endswith(".npz") else path + ".npz",
+            keys=np.asarray(self.table.keys)[:n],
+            color_ref=np.asarray(self.table.color_ref)[:n],
+            flags=np.asarray(self.table.flags)[:n],
+            rows=np.asarray(self.colors.rows)[:d],
+            bloom=np.asarray(self.bloom),
+            manifest=np.frombuffer(json.dumps({
+                "config": self.config.to_dict(),
+                "genome_names": self.genome_names,
+                "n": n, "d": d,
+            }).encode(), dtype=np.uint8),
+        )
+
+    @classmethod
+    def load(cls, path: str) -> "ColoredDBG":
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
+        z = np.load(path)
+        manifest = json.loads(z["manifest"].tobytes().decode())
+        config = BFTConfig.from_dict(manifest["config"])
+        self = cls(config)
+        self.genome_names = list(manifest["genome_names"])
+        n, d = manifest["n"], manifest["d"]
+        cap = max(_next_pow2(n), config.initial_capacity)
+        dcap = max(_next_pow2(d), config.initial_color_capacity)
+        w = config.words
+        keys = np.full((cap, w), 0xFFFFFFFF, dtype=np.uint32)
+        keys[:n] = z["keys"]
+        cref = np.full((cap,), -1, dtype=np.int32)
+        cref[:n] = z["color_ref"]
+        flags = np.zeros((cap,), dtype=np.uint8)
+        flags[:n] = z["flags"]
+        cw = z["rows"].shape[1] if d else 1
+        rows = np.zeros((dcap, cw), dtype=np.uint32)
+        rows[:d] = z["rows"]
+        self.table = tbl.KmerTable(
+            keys=jnp.asarray(keys), color_ref=jnp.asarray(cref),
+            flags=jnp.asarray(flags), n=jnp.asarray(n, dtype=jnp.int32))
+        self.colors = tbl.ColorDict(rows=jnp.asarray(rows),
+                                    d=jnp.asarray(d, dtype=jnp.int32))
+        self.bloom = jnp.asarray(z["bloom"])
+        self._n, self._d = n, d
+        return self
+
+    # ------------------------------------------------------------------
+    # observability (reference printMemory.c / getRSS.c)
+    # ------------------------------------------------------------------
+    def memory_stats(self) -> dict:
+        t, c = self.table, self.colors
+        return {
+            "nb_kmers": self._n,
+            "nb_color_classes": self._d,
+            "nb_genomes": self.nb_genomes,
+            "table_capacity": t.capacity,
+            "color_capacity": c.capacity,
+            "bytes_keys": t.keys.size * 4,
+            "bytes_color_ref": t.color_ref.size * 4,
+            "bytes_flags": t.flags.size,
+            "bytes_colors": c.rows.size * 4,
+            "bytes_bloom": self.bloom.size * 4,
+            "bytes_total": (t.keys.size * 4 + t.color_ref.size * 4
+                            + t.flags.size + c.rows.size * 4
+                            + self.bloom.size * 4),
+        }

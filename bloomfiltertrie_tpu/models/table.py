@@ -1,0 +1,264 @@
+"""The sorted k-mer table — TPU-native replacement for the burst trie.
+
+The reference stores k-mers in a trie of compressed/uncompressed containers
+(``Node`` include/Node.h:55-58, ``CC`` include/CC.h, ``UC`` include/UC.h) and
+walks pointers per k-mer.  Here the whole shard is **one sorted, sentinel
+-padded tensor of packed k-mer keys** plus parallel payload columns:
+
+  keys      uint32[cap, W]   sorted rows; empty rows = 0xFFFFFFFF sentinel
+  color_ref int32[cap]       color-class id per k-mer (models/colors.py)
+  flags     uint8[cap]       2-bit marking states (reference src/marking.c)
+  n         int32 scalar     number of live rows
+
+Insertion becomes: sort+unique the batch, split found/new by batched binary
+search, update color classes for found rows, rank-merge new rows — each step a
+dense XLA op over the entire batch (SURVEY §7 design stance).  The UC->CC
+"burst" (src/insertNode.c:196-223 -> transform2CC src/CC.c:40) has no analogue
+because the table is always in its "burst" (sorted, packed) form; capacity
+growth (host-side doubling) replaces pointer reallocation.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+
+import jax
+import jax.numpy as jnp
+
+from bloomfiltertrie_tpu.ops import bloom as bloom_ops
+from bloomfiltertrie_tpu.ops import sortedset as ss
+
+INT32_MAX = jnp.int32(2**31 - 1)
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class KmerTable:
+    keys: jnp.ndarray       # uint32[cap, W]
+    color_ref: jnp.ndarray  # int32[cap]
+    flags: jnp.ndarray      # uint8[cap]
+    n: jnp.ndarray          # int32 scalar
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def words(self) -> int:
+        return self.keys.shape[1]
+
+
+def empty_table(capacity: int, words: int) -> KmerTable:
+    return KmerTable(
+        keys=jnp.full((capacity, words), ss.SENTINEL, dtype=jnp.uint32),
+        color_ref=jnp.full((capacity,), -1, dtype=jnp.int32),
+        flags=jnp.zeros((capacity,), dtype=jnp.uint8),
+        n=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def grow_table(table: KmerTable, new_capacity: int) -> KmerTable:
+    pad = new_capacity - table.capacity
+    return KmerTable(
+        keys=jnp.concatenate([
+            table.keys,
+            jnp.full((pad, table.words), ss.SENTINEL, dtype=jnp.uint32)]),
+        color_ref=jnp.pad(table.color_ref, (0, pad), constant_values=-1),
+        flags=jnp.pad(table.flags, (0, pad)),
+        n=table.n,
+    )
+
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class ColorDict:
+    """Dictionary of color classes: one genome-presence bitmap row per class.
+
+    This is the TPU redesign of the reference's annotation engine
+    (src/annotation.c): instead of four per-k-mer byte encodings picked
+    greedily (``compute_best_mode`` annotation.c:416) plus a global mode-3
+    dictionary, *every* k-mer holds a pointer (color_ref) into this dictionary
+    — i.e. mode 3 is the only mode, and rows are fixed-width bitmaps (mode 0).
+    Per-genome insertion appends `old | {g}` rows without deduplication (the
+    greedy-local phase); :func:`compress_colors` dedups rows globally — the
+    analogue of the reference's JudySL color compression
+    (``compress_annotations_disk`` src/file_io.c:3-76, ``sort_annotations3``
+    src/annotation.c:1396) without the disk round trip.  Frequency ordering of
+    the reference dictionary only shortened its varint pointers; with fixed
+    int32 refs it is irrelevant and skipped.
+    """
+
+    rows: jnp.ndarray  # uint32[dcap, cw]: class c bit g => genome g present
+    d: jnp.ndarray     # int32 scalar: number of classes
+
+    @property
+    def capacity(self) -> int:
+        return self.rows.shape[0]
+
+    @property
+    def width(self) -> int:
+        return self.rows.shape[1]
+
+
+def empty_colors(capacity: int, width: int = 1) -> ColorDict:
+    return ColorDict(rows=jnp.zeros((capacity, width), dtype=jnp.uint32),
+                     d=jnp.zeros((), dtype=jnp.int32))
+
+
+def grow_colors(colors: ColorDict, new_capacity: int, new_width: int) -> ColorDict:
+    return ColorDict(
+        rows=jnp.pad(colors.rows, ((0, new_capacity - colors.capacity),
+                                   (0, new_width - colors.width))),
+        d=colors.d,
+    )
+
+
+def append_singleton_class(colors: ColorDict, genome_id) -> tuple[ColorDict, jnp.ndarray]:
+    """Create the class {genome_id}; returns (colors, class_id)."""
+    g = jnp.asarray(genome_id, dtype=jnp.int32)
+    row = jnp.zeros((colors.width,), dtype=jnp.uint32)
+    row = row.at[g >> 5].set(jnp.uint32(1) << (g & 31).astype(jnp.uint32))
+    rows = jax.lax.dynamic_update_slice(colors.rows, row[None, :], (colors.d, 0))
+    return ColorDict(rows=rows, d=colors.d + 1), colors.d
+
+
+# ---------------------------------------------------------------------------
+# The insert step (jitted per (cap, dcap, cw, M) shape signature)
+# ---------------------------------------------------------------------------
+
+@functools.partial(jax.jit, static_argnames=("log2_bloom",), donate_argnums=(0, 1, 2))
+def insert_batch(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarray,
+                 batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
+                 genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
+                 log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray):
+    """Insert one batch of k-mers for genome ``genome_id``.
+
+    The functional analogue of the reference's hot loop ``insertKmers`` ->
+    ``insertKmer_Node`` (src/insertNode.c:18,38): hit => color update
+    (``modify_annotations`` src/retrieveAnnotation.c:232), miss => table merge.
+    Same-genome re-insertion is a no-op (src/retrieveAnnotation.c:278).
+
+    Caller contract (host wrapper enforces):
+      * table has >= M free rows, colors has >= M free rows;
+      * ``singleton_cls`` is the class id of {genome_id}.
+
+    Returns (table, colors, bloom_bits, stats) with stats = dict of scalars.
+    """
+    m = batch_keys.shape[0]
+    g = genome_id
+    g_word = (g >> 5).astype(jnp.int32)
+    g_bit = (g & 31).astype(jnp.uint32)
+
+    # 1. Sort + dedup the batch.
+    u_count, ukeys, _src = ss.sort_unique(batch_keys, batch_valid)
+    uvalid = jnp.arange(m, dtype=jnp.int32) < u_count
+
+    # 2. Split found / new.  (uvalid guard: a sentinel-padded row must never
+    #    match a genuine all-T key in the table.)
+    found, idx = ss.lookup(table.keys, table.n, ukeys)
+    found = found & uvalid
+
+    # 3. Color update for found k-mers whose class lacks genome g.
+    cls = jnp.where(found, table.color_ref[idx], INT32_MAX)
+    safe_cls = jnp.where(found, cls, 0)
+    has_g = (colors.rows[safe_cls, g_word] >> g_bit) & 1
+    affected = found & (has_g == 0)
+
+    # 3a. Unique affected classes -> one new row per distinct class.
+    aff = jnp.where(affected, cls, INT32_MAX)
+    aff_sorted = jnp.sort(aff)
+    keep = jnp.concatenate([jnp.ones((1,), bool),
+                            aff_sorted[1:] != aff_sorted[:-1]])
+    keep = keep & (aff_sorted != INT32_MAX)
+    rank = jnp.cumsum(keep) - 1
+    n_new_cls = jnp.sum(keep.astype(jnp.int32))
+    u_cls = jnp.full((m,), INT32_MAX, dtype=jnp.int32).at[
+        jnp.where(keep, rank, m)].set(aff_sorted, mode="drop")
+
+    # 3b. Append rows (old_class | {g}) at ids d..d+n_new_cls-1.
+    src_rows = colors.rows[jnp.where(u_cls == INT32_MAX, 0, u_cls)]
+    gbit_col = (jnp.uint32(1) << g_bit) * (
+        jnp.arange(colors.width, dtype=jnp.int32)[None, :] == g_word
+    ).astype(jnp.uint32)
+    new_rows = src_rows | gbit_col
+    dest = jnp.where(u_cls != INT32_MAX,
+                     colors.d + jnp.arange(m, dtype=jnp.int32),
+                     colors.capacity)
+    rows = colors.rows.at[dest].set(new_rows, mode="drop")
+
+    # 3c. Remap affected k-mers to their new class.
+    pos = jnp.searchsorted(u_cls, cls).astype(jnp.int32)
+    new_cls = colors.d + jnp.minimum(pos, m - 1)
+    color_ref = table.color_ref.at[
+        jnp.where(affected, idx, table.capacity)].set(new_cls, mode="drop")
+    colors = ColorDict(rows=rows, d=colors.d + n_new_cls)
+
+    # 4. Merge new k-mers (not found) into the table.
+    is_new = uvalid & ~found
+    m_new, nkeys = ss.compact(is_new, ukeys)
+    merged_keys, merged_n, (merged_cref, merged_flags) = ss.merge_into(
+        table.keys, table.n, nkeys, m_new,
+        table_payloads=(color_ref, table.flags),
+        new_payloads=(jnp.full((m,), singleton_cls, dtype=jnp.int32),
+                      jnp.zeros((m,), dtype=jnp.uint8)),
+        payload_fills=(-1, 0),
+    )
+
+    # 5. Bloom plane update for the new keys.
+    new_valid = jnp.arange(m, dtype=jnp.int32) < m_new
+    bloom_bits = bloom_ops.add(bloom_bits, nkeys, new_valid,
+                               log2_bloom, seed1, seed2)
+
+    table = KmerTable(keys=merged_keys, color_ref=merged_cref,
+                      flags=merged_flags, n=merged_n)
+    stats = {"unique": u_count, "new": m_new, "colored": n_new_cls,
+             "n": merged_n, "d": colors.d}
+    return table, colors, bloom_bits, stats
+
+
+@jax.jit
+def compress_colors(table: KmerTable, colors: ColorDict):
+    """Global color-class dedup + garbage collection.
+
+    Reference analogue: end-of-build annotation compression
+    (``compress_annotations_disk`` src/file_io.c:3-76) which dedups all
+    annotations through a JudySL map and rewrites them as dictionary pointers.
+    Here: mark referenced classes, sort rows (unreferenced -> sentinel),
+    unique, and remap every color_ref through the old->new permutation.
+    """
+    dcap, cw = colors.rows.shape
+
+    live = jnp.zeros((dcap,), dtype=bool).at[
+        jnp.where(table.color_ref >= 0, table.color_ref, dcap)
+    ].set(True, mode="drop")
+
+    # Leading "dead" sort key keeps dead rows strictly after live rows so a
+    # live all-ones bitmap can never be swallowed by the dead-row run.
+    dead = (~live).astype(jnp.uint32)
+    old_id = jnp.arange(dcap, dtype=jnp.int32)
+    operands = (dead,) + tuple(colors.rows[:, i] for i in range(cw)) + (old_id,)
+    out = jax.lax.sort(operands, num_keys=cw + 1)
+    dead_sorted = out[0]
+    skeys = jnp.stack(out[1:1 + cw], axis=-1)
+    sid = out[1 + cw]
+    boundary = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        (~ss.mw_equal(skeys[1:], skeys[:-1]))
+        | (dead_sorted[1:] != dead_sorted[:-1]),
+    ])
+    keep = boundary & (dead_sorted == 0)
+    # New id of each *kept* row; duplicates inherit the id of their run head.
+    run_head = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    d_new = jnp.sum(keep.astype(jnp.int32))
+
+    new_rows = jnp.zeros_like(colors.rows).at[
+        jnp.where(keep, run_head, dcap)].set(skeys, mode="drop")
+    # remap[old_id] = new id (only for live rows)
+    remap = jnp.full((dcap + 1,), -1, dtype=jnp.int32).at[
+        jnp.where(dead_sorted == 0, sid, dcap)].set(run_head, mode="drop")
+    cref = jnp.where(table.color_ref >= 0,
+                     remap[jnp.minimum(table.color_ref, dcap)],
+                     -1)
+    table = dataclasses.replace(table, color_ref=cref)
+    return table, ColorDict(rows=new_rows, d=d_new)

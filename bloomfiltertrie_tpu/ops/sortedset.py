@@ -1,0 +1,200 @@
+"""Batched sorted-multiword-key primitives (the engine's inner loops).
+
+The reference's per-k-mer trie walk (``presenceKmer`` src/presenceNode.c:1284:
+Bloom probe -> rank via popcount -> binary search) is replaced by dense,
+batch-parallel operations over a single sorted table of packed k-mer keys:
+
+  * ``sort_rows``       — lexicographic sort of [N, W] uint32 keys (+payloads)
+  * ``unique_mask``     — run-boundary detection on sorted keys
+  * ``compact``         — stable masked compaction via cumsum + scatter
+  * ``searchsorted``    — vectorized multiword binary search over a table
+  * ``merge_into``      — merge a sorted unique batch into a sorted table
+                          (the TPU analogue of the UC->CC "burst",
+                          transform2CC src/CC.c:40, done as rank arithmetic)
+
+All shapes are static; empty slots hold the sentinel 0xFFFFFFFF in every word
+so the sorted invariant extends over the whole capacity.  A real all-T k-mer
+can equal the sentinel when k == 16*W, so *presence* is always the conjunction
+``(idx < n) & keys_equal`` — sentinels never alias a hit.
+
+These are XLA-first implementations (fused gathers/compares); Pallas variants
+for the hottest paths live in ``ops/pallas_kernels.py``.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import jax
+import jax.numpy as jnp
+
+SENTINEL = jnp.uint32(0xFFFFFFFF)
+
+
+def mw_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    """Lexicographic a < b over the trailing word axis (uint32)."""
+    w = a.shape[-1]
+    lt = jnp.zeros(a.shape[:-1], dtype=bool)
+    eq = jnp.ones(a.shape[:-1], dtype=bool)
+    for i in range(w):
+        ai, bi = a[..., i], b[..., i]
+        lt = lt | (eq & (ai < bi))
+        eq = eq & (ai == bi)
+    return lt
+
+
+def mw_equal(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:
+    return jnp.all(a == b, axis=-1)
+
+
+def sort_rows(keys: jnp.ndarray, *payloads: jnp.ndarray):
+    """Sort [N, W] rows lexicographically; payloads permuted alongside.
+
+    Uses ``lax.sort`` with W key operands — XLA lowers this to an efficient
+    on-device sort (the reference's ``quicksort_init`` src/quicksort.c analogue,
+    but batched and payload-carrying instead of permutation-returning).
+    """
+    w = keys.shape[-1]
+    operands = tuple(keys[:, i] for i in range(w)) + tuple(payloads)
+    out = jax.lax.sort(operands, num_keys=w)
+    sorted_keys = jnp.stack(out[:w], axis=-1)
+    return (sorted_keys,) + tuple(out[w:])
+
+
+def unique_mask(sorted_keys: jnp.ndarray) -> jnp.ndarray:
+    """True at the first occurrence of each distinct row of a sorted array."""
+    neq = ~mw_equal(sorted_keys[1:], sorted_keys[:-1])
+    return jnp.concatenate([jnp.ones((1,), dtype=bool), neq])
+
+
+def compact(mask: jnp.ndarray, keys: jnp.ndarray, *payloads,
+            fill_key=SENTINEL, fills=()):
+    """Stable-compact rows where ``mask`` holds; tail filled with sentinels.
+
+    Returns (count, compacted_keys, *compacted_payloads).
+    """
+    n = mask.shape[0]
+    dest = jnp.cumsum(mask) - 1
+    idx = jnp.where(mask, dest, n)  # n = out of range -> dropped
+    out_keys = jnp.full_like(keys, fill_key).at[idx].set(keys, mode="drop")
+    outs = []
+    for i, p in enumerate(payloads):
+        fill = fills[i] if fills else 0
+        outs.append(jnp.full_like(p, fill).at[idx].set(p, mode="drop"))
+    count = jnp.sum(mask.astype(jnp.int32))
+    return (count, out_keys, *outs)
+
+
+@functools.partial(jax.jit, static_argnames=("side",))
+def searchsorted(table_keys: jnp.ndarray, queries: jnp.ndarray,
+                 side: str = "left") -> jnp.ndarray:
+    """Vectorized multiword binary search.
+
+    ``table_keys``: [cap, W] sorted (sentinel-padded).  ``queries``: [M, W].
+    Returns int32 [M] insertion points.  This is the batched analogue of the
+    reference's per-CC ``binary_search_UC`` (src/UC.c:81) / filter3 search
+    (src/presenceNode.c:1399-1468): log2(cap) gather+compare rounds over the
+    whole query batch instead of one pointer walk per k-mer.
+    """
+    cap = table_keys.shape[0]
+    m = queries.shape[0]
+    steps = max(cap.bit_length(), 1)
+    lo = jnp.zeros((m,), dtype=jnp.int32)
+    hi = jnp.full((m,), cap, dtype=jnp.int32)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        rows = table_keys[mid]
+        if side == "left":
+            go_right = mw_less(rows, queries)
+        else:
+            go_right = ~mw_less(queries, rows)
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    return lo
+
+
+def lookup(table_keys: jnp.ndarray, n: jnp.ndarray, queries: jnp.ndarray):
+    """Membership probe: returns (found bool [M], idx int32 [M]).
+
+    ``idx`` is the row of the hit (undefined where not found).  Sentinel
+    aliasing is excluded by the ``idx < n`` guard (see module docstring).
+    """
+    idx = searchsorted(table_keys, queries, side="left")
+    safe = jnp.minimum(idx, table_keys.shape[0] - 1)
+    found = (idx < n) & mw_equal(table_keys[safe], queries)
+    return found, safe
+
+
+def sort_unique(keys: jnp.ndarray, valid: jnp.ndarray):
+    """Sort a batch, drop invalid rows and duplicates.
+
+    Returns (count, sorted_unique_keys [M, W] sentinel-padded, src_index [M])
+    where ``src_index[r]`` is the original batch position of compacted row r
+    (first occurrence).
+
+    An extra leading "invalid" sort key keeps invalid rows strictly after all
+    valid rows and out of their runs — a genuine all-T k-mer (which equals the
+    sentinel bit pattern when k == 16*W) must not be swallowed by the padding.
+    """
+    m = keys.shape[0]
+    inv = (~valid).astype(jnp.uint32)
+    src = jnp.arange(m, dtype=jnp.int32)
+    w = keys.shape[-1]
+    operands = (inv,) + tuple(keys[:, i] for i in range(w)) + (src,)
+    out = jax.lax.sort(operands, num_keys=w + 1)
+    inv_sorted = out[0]
+    sorted_keys = jnp.stack(out[1:1 + w], axis=-1)
+    src_sorted = out[1 + w]
+    boundary = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        (~mw_equal(sorted_keys[1:], sorted_keys[:-1]))
+        | (inv_sorted[1:] != inv_sorted[:-1]),
+    ])
+    keep = boundary & (inv_sorted == 0)
+    return compact(keep, sorted_keys, src_sorted)
+
+
+def merge_into(table_keys: jnp.ndarray, table_n: jnp.ndarray,
+               new_keys: jnp.ndarray, new_count: jnp.ndarray,
+               table_payloads=(), new_payloads=(), payload_fills=()):
+    """Merge ``new_count`` sorted-unique rows into a sorted sentinel table.
+
+    Pure rank arithmetic (no data-dependent shapes):
+      * old row i lands at i + |{new < old_i}| (searchsorted into new rows)
+      * new row r lands at r + |{old < new_r}| (searchsorted into old rows)
+
+    Precondition: new rows are disjoint from table rows (callers first split
+    found/not-found via :func:`lookup`).  Returns
+    (merged_keys, merged_n, merged_payloads).
+    """
+    cap = table_keys.shape[0]
+    m = new_keys.shape[0]
+
+    old_valid = jnp.arange(cap, dtype=jnp.int32) < table_n
+    new_valid = jnp.arange(m, dtype=jnp.int32) < new_count
+
+    rank_new = searchsorted(new_keys, table_keys, side="left")
+    pos_old = jnp.where(old_valid, jnp.arange(cap, dtype=jnp.int32)
+                        + jnp.minimum(rank_new, new_count), cap)
+    rank_old = searchsorted(table_keys, new_keys, side="left")
+    pos_new = jnp.where(new_valid, jnp.arange(m, dtype=jnp.int32)
+                        + jnp.minimum(rank_old, table_n), cap)
+
+    out_keys = jnp.full_like(table_keys, SENTINEL)
+    out_keys = out_keys.at[pos_old].set(table_keys, mode="drop")
+    out_keys = out_keys.at[pos_new].set(new_keys, mode="drop")
+
+    out_payloads = []
+    for i, (tp, np_) in enumerate(zip(table_payloads, new_payloads)):
+        fill = payload_fills[i] if payload_fills else 0
+        op = jnp.full_like(tp, fill)
+        op = op.at[pos_old].set(tp, mode="drop")
+        op = op.at[pos_new].set(np_, mode="drop")
+        out_payloads.append(op)
+
+    return out_keys, table_n + new_count, tuple(out_payloads)

