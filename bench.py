@@ -1,0 +1,112 @@
+"""Headline benchmark: k-mer insert throughput on one TPU chip.
+
+Prints ONE JSON line:
+  {"metric": "insert_kmers_per_s", "value": N, "unit": "kmers/s",
+   "vs_baseline": N / 3.125e6}
+
+Baseline: the driver north star (BASELINE.json) is >= 50M k-mers/s inserted
+pod-wide on a v5e-16, i.e. 3.125M k-mers/s per chip.  The reference
+repository itself publishes no numbers (BASELINE.md).
+
+Method notes:
+  * Synthetic k=31 batches generated ON DEVICE (jax.random.bits) — the axon
+    tunnel's host->device path is ~1 MB/s and must stay out of the loop; on a
+    real TPU host, ingest rides PCIe and is pipelined separately.
+  * Genomic k-mer content is uniform-ish random; all table ops are
+    content-oblivious, so random batches measure the true kernel cost.
+  * Table pre-sized (no growth recompiles); insert runs with deferred host
+    sync; timing is closed by fetching a device scalar (block_until_ready is
+    not a reliable fence through the remote tunnel).
+  * Two genomes so both paths run: new-key merge and color-class update.
+"""
+
+from __future__ import annotations
+
+import json
+import sys
+import time
+
+import numpy as np
+
+
+def main():
+    import jax
+    import jax.numpy as jnp
+
+    from bloomfiltertrie_tpu.config import BFTConfig
+    from bloomfiltertrie_tpu.models.cdbg import ColoredDBG
+
+    k = 31
+    batch = 1 << 20
+    n_batches = 4
+    total = batch * n_batches
+
+    cfg = BFTConfig(
+        k=k,
+        initial_capacity=1 << 24,        # pre-size: no growth in timed region
+        initial_color_capacity=1 << 22,
+        bloom_log2_bits=26,
+        batch_size=batch,
+    )
+
+    gen = jax.jit(
+        lambda key: jax.random.bits(key, (total, 2), jnp.uint32)
+        & jnp.asarray([0xFFFFFFFF, 0xFFFFFFFC], dtype=jnp.uint32)[None, :],
+    )
+    data = gen(jax.random.PRNGKey(0))
+    data2 = gen(jax.random.PRNGKey(1))
+    jax.block_until_ready((data, data2))
+
+    dbg = ColoredDBG(cfg)
+
+    def timed_insert(arr):
+        t0 = time.perf_counter()
+        dbg.insert_kmers_packed(arr, sync_stats=False)
+        # Force execution: fetch a device scalar derived from the new state.
+        jax.device_get(dbg.table.n)
+        return time.perf_counter() - t0
+
+    # ---- warmup (compiles insert at this shape, runs both genome paths) ----
+    dbg.start_genome("g0")
+    warm_t = timed_insert(data[:batch])
+    print(f"# warmup insert (incl compile): {warm_t:.1f}s", file=sys.stderr)
+
+    # ---- timed: genome 0, new-key-heavy ----
+    dt0 = timed_insert(data[batch:])
+    dbg.end_genome()
+    dbg.sync_counts()
+
+    # ---- timed: genome 1, half re-color / half new ----
+    dbg.start_genome("g1")
+    mix = jnp.concatenate([data[: total // 2], data2[: total // 2]])
+    dt1 = timed_insert(mix)
+    dbg.end_genome()
+    dbg.sync_counts()
+
+    n_inserted = (total - batch) + total
+    insert_rate = n_inserted / (dt0 + dt1)
+
+    # ---- query throughput (secondary) ----
+    queries = jnp.concatenate([data[:batch // 2], data2[total // 2:
+                                                        total // 2 + batch // 2]])
+    dbg.query_kmers_packed(queries)  # compile
+    t0 = time.perf_counter()
+    found, _ = dbg.query_kmers_packed(queries)  # returns np => synced
+    dt_q = time.perf_counter() - t0
+    query_rate = queries.shape[0] / dt_q
+
+    print(f"# n={dbg.nb_kmers} classes={dbg.nb_color_classes} "
+          f"insert={insert_rate:.3e}/s query={query_rate:.3e}/s "
+          f"found={int(found.sum())}", file=sys.stderr)
+
+    baseline_per_chip = 50e6 / 16
+    print(json.dumps({
+        "metric": "insert_kmers_per_s",
+        "value": round(insert_rate),
+        "unit": "kmers/s",
+        "vs_baseline": round(insert_rate / baseline_per_chip, 4),
+    }))
+
+
+if __name__ == "__main__":
+    main()

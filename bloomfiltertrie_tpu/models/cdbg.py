@@ -165,25 +165,36 @@ class ColoredDBG:
         self._d += 1
         return gid
 
-    def insert_kmers_packed(self, packed: np.ndarray, valid: np.ndarray | None = None):
-        """Insert packed k-mers [M, W] into the current genome, batched."""
+    def insert_kmers_packed(self, packed, valid=None, sync_stats: bool = True):
+        """Insert packed k-mers [M, W] into the current genome, batched.
+
+        ``packed`` may be a NumPy array or a device-resident jax array (the
+        latter avoids host->device transfer — important when PCIe/tunnel
+        bandwidth is the bottleneck).  With ``sync_stats=False`` no per-batch
+        host sync happens and **capacity checks are skipped** — the caller
+        must have pre-sized table/colors; call :meth:`sync_counts` after.
+        """
         if self._cur_singleton is None:
             raise RuntimeError("call start_genome() before inserting k-mers")
-        packed = np.asarray(packed, dtype=np.uint32)
+        on_device = isinstance(packed, jax.Array)
+        if not on_device:
+            packed = np.asarray(packed, dtype=np.uint32)
         if valid is None:
-            valid = np.ones(packed.shape[0], dtype=bool)
+            valid = (jnp if on_device else np).ones(packed.shape[0], dtype=bool)
         bsz = self.config.batch_size
         gid = len(self.genome_names) - 1
         cfg = self.config
+        xp = jnp if on_device else np
         for off in range(0, packed.shape[0], bsz):
             chunk = packed[off: off + bsz]
             vchunk = valid[off: off + bsz]
             if chunk.shape[0] < bsz:  # pad for a stable jit shape
                 pad = bsz - chunk.shape[0]
-                chunk = np.pad(chunk, ((0, pad), (0, 0)))
-                vchunk = np.pad(vchunk, (0, pad))
-            self._ensure_table(bsz)
-            self._ensure_colors(bsz)
+                chunk = xp.pad(chunk, ((0, pad), (0, 0)))
+                vchunk = xp.pad(vchunk, (0, pad))
+            if sync_stats:
+                self._ensure_table(bsz)
+                self._ensure_colors(bsz)
             self.table, self.colors, self.bloom, stats = tbl.insert_batch(
                 self.table, self.colors, self.bloom,
                 jnp.asarray(chunk), jnp.asarray(vchunk),
@@ -192,9 +203,15 @@ class ColoredDBG:
                 cfg.bloom_log2_bits,
                 jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
                 jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32))
-            s = jax.device_get(stats)
-            self._n = int(s["n"])
-            self._d = int(s["d"])
+            if sync_stats:
+                s = jax.device_get(stats)
+                self._n = int(s["n"])
+                self._d = int(s["d"])
+
+    def sync_counts(self):
+        """Refresh host count mirrors after deferred-sync insertion."""
+        self._n = int(jax.device_get(self.table.n))
+        self._d = int(jax.device_get(self.colors.d))
 
     def end_genome(self):
         """Close the current genome; run color compression on cadence.

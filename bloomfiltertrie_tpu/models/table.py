@@ -127,11 +127,10 @@ def append_singleton_class(colors: ColorDict, genome_id) -> tuple[ColorDict, jnp
 # The insert step (jitted per (cap, dcap, cw, M) shape signature)
 # ---------------------------------------------------------------------------
 
-@functools.partial(jax.jit, static_argnames=("log2_bloom",), donate_argnums=(0, 1, 2))
-def insert_batch(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarray,
-                 batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
-                 genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
-                 log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray):
+def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarray,
+                      batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
+                      genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
+                      log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray):
     """Insert one batch of k-mers for genome ``genome_id``.
 
     The functional analogue of the reference's hot loop ``insertKmers`` ->
@@ -215,6 +214,11 @@ def insert_batch(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarray,
     stats = {"unique": u_count, "new": m_new, "colored": n_new_cls,
              "n": merged_n, "d": colors.d}
     return table, colors, bloom_bits, stats
+
+
+insert_batch = functools.partial(
+    jax.jit, static_argnames=("log2_bloom",), donate_argnums=(0, 1, 2)
+)(insert_batch_impl)
 
 
 @jax.jit

@@ -1,0 +1,410 @@
+"""Prefix-sharded index over a TPU device mesh (SPMD via shard_map).
+
+The reference is single-process/single-thread (its OpenMP merge path is
+commented out — src/file_io.c:1022-1462, src/merge.c:3-400).  This module is
+the scaling story SURVEY §2's parallelism table calls for:
+
+  * TP analogue:  the index is sharded by k-mer **prefix** — the top
+    ``log2(n_shards)`` bits of the first packed word.  (The reference trie's
+    first 9-char level is exactly such a partition of key space.)  Shard
+    ranges are contiguous in sort order, so the global sorted table is the
+    concatenation of shard tables.
+  * DP analogue:  every device ingests its own slice of the input batch
+    (one genome file subset per host in a pod).
+  * EP analogue:  k-mers are routed to their owner shard with
+    ``lax.all_to_all`` over ICI, MoE-style with a fixed per-destination
+    capacity (genomic k-mer prefixes are near-uniform; overflow is counted
+    and surfaced, never silently wrong — dropped k-mers are reported so the
+    host can retry with a smaller batch).
+  * Queries skip routing entirely: the query batch is replicated, each shard
+    answers for its own range, and results combine with ``psum``/``max``
+    (exactly one shard can own any k-mer, so sums never double-count).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+import math
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, PartitionSpec as P
+
+from bloomfiltertrie_tpu.config import BFTConfig
+from bloomfiltertrie_tpu.models import graph as graph_ops
+from bloomfiltertrie_tpu.models import table as tbl
+from bloomfiltertrie_tpu.models.cdbg import BFTAnnotation, _next_pow2
+from bloomfiltertrie_tpu.ops import bloom as bloom_ops
+from bloomfiltertrie_tpu.ops import codec
+from bloomfiltertrie_tpu.ops import sortedset as ss
+
+AXIS = "shards"
+
+
+def make_mesh(n_devices: int | None = None, devices=None) -> Mesh:
+    if devices is None:
+        devices = jax.devices()[:n_devices] if n_devices else jax.devices()
+    return Mesh(np.asarray(devices), (AXIS,))
+
+
+def shard_of_keys(keys: jnp.ndarray, shard_bits: int) -> jnp.ndarray:
+    """Owner shard = top ``shard_bits`` bits of the first packed word."""
+    if shard_bits == 0:
+        return jnp.zeros(keys.shape[:-1], dtype=jnp.int32)
+    return (keys[..., 0] >> jnp.uint32(32 - shard_bits)).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# SPMD bodies (run inside shard_map; leading shard axis is size 1 per device)
+# ---------------------------------------------------------------------------
+
+def _route_to_owners(batch, valid, shard_bits: int, capacity: int):
+    """all_to_all routing of a local batch to owner shards.
+
+    Returns (recv_keys [n*capacity, W], recv_valid [n*capacity], dropped).
+    """
+    n = jax.lax.axis_size(AXIS)
+    b, w = batch.shape
+    shard = jnp.where(valid, shard_of_keys(batch, shard_bits), n)
+    # Stable sort by destination shard to make segments contiguous.
+    order = jnp.argsort(shard, stable=True).astype(jnp.int32)
+    shard_sorted = shard[order]
+    batch_sorted = batch[order]
+    counts = jnp.bincount(jnp.minimum(shard, n), length=n + 1)[:n]
+    start = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                             jnp.cumsum(counts)[:-1]])
+    slot = jnp.arange(b, dtype=jnp.int32) - start[jnp.minimum(shard_sorted, n - 1)].astype(jnp.int32)
+    ok = (shard_sorted < n) & (slot < capacity)
+    dest = jnp.where(ok, shard_sorted * capacity + slot, n * capacity)
+    send_keys = jnp.full((n * capacity, w), ss.SENTINEL, dtype=jnp.uint32)
+    send_keys = send_keys.at[dest].set(batch_sorted, mode="drop")
+    send_valid = jnp.zeros((n * capacity,), dtype=jnp.int32).at[dest].set(
+        ok.astype(jnp.int32), mode="drop")
+    dropped = jnp.sum((shard < n).astype(jnp.int32)) - jnp.sum(ok.astype(jnp.int32))
+
+    recv_keys = jax.lax.all_to_all(
+        send_keys.reshape(n, capacity, w), AXIS, split_axis=0, concat_axis=0,
+        tiled=False).reshape(n * capacity, w)
+    recv_valid = jax.lax.all_to_all(
+        send_valid.reshape(n, capacity), AXIS, split_axis=0, concat_axis=0,
+        tiled=False).reshape(n * capacity) == 1
+    return recv_keys, recv_valid, dropped
+
+
+def _insert_body(keys, cref, flags, n, rows, d, bloom_bits,
+                 batch, valid, gid, singleton, seeds,
+                 *, shard_bits: int, capacity: int, log2_bloom: int):
+    # squeeze the per-device leading axis
+    table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
+                          n=n[0])
+    colors = tbl.ColorDict(rows=rows[0], d=d[0])
+    local_keys, local_valid, dropped = _route_to_owners(
+        batch, valid, shard_bits, capacity)
+    table, colors, bloom, stats = tbl.insert_batch_impl(
+        table, colors, bloom_bits[0], local_keys, local_valid,
+        gid, singleton[0], log2_bloom, seeds[0], seeds[1])
+    totals = {
+        "new": jax.lax.psum(stats["new"], AXIS),
+        "dropped": jax.lax.psum(dropped, AXIS),
+    }
+    return (table.keys[None], table.color_ref[None], table.flags[None],
+            table.n[None], colors.rows[None], colors.d[None], bloom[None],
+            totals)
+
+
+def _query_body(keys, cref, rows, n, queries, valid):
+    found, idx = ss.lookup(keys[0], n[0], queries)
+    found = found & valid
+    cls = jnp.where(found, cref[0][idx], -1)
+    bitmap = jnp.where(found[:, None], rows[0][jnp.maximum(cls, 0)], 0)
+    found = jax.lax.psum(found.astype(jnp.int32), AXIS) > 0
+    bitmap = jax.lax.psum(bitmap, AXIS)
+    return found, bitmap
+
+
+def _branching_body(keys, n, queries, valid, *, k: int):
+    m = queries.shape[0]
+    succ, pred = graph_ops.neighbor_candidates(queries, k)
+    cand = jnp.concatenate([succ.reshape(m * 4, -1), pred.reshape(m * 4, -1)])
+    found, _ = ss.lookup(keys[0], n[0], cand)
+    found = jax.lax.psum(found.astype(jnp.int32), AXIS)
+    sf = found[: m * 4].reshape(m, 4).sum(axis=1)
+    pf = found[m * 4:].reshape(m, 4).sum(axis=1)
+    return ((sf > 1) | (pf > 1)) & valid
+
+
+def _append_singletons(rows, d, gid):
+    colors = tbl.ColorDict(rows=rows[0], d=d[0])
+    colors, cls = tbl.append_singleton_class(colors, gid)
+    return colors.rows[None], colors.d[None], cls[None]
+
+
+# ---------------------------------------------------------------------------
+# Host-side sharded index
+# ---------------------------------------------------------------------------
+
+class ShardedCDBG:
+    """Prefix-sharded ColoredDBG across a 1-D device mesh.
+
+    State mirrors ColoredDBG but with a leading shard axis, sharded over the
+    mesh; the host mirrors per-shard counts for capacity management.
+    ``capacity_factor`` scales the all_to_all per-destination buffer
+    (send slots per shard = batch/n_shards * factor).
+    """
+
+    def __init__(self, config: BFTConfig, mesh: Mesh | None = None,
+                 capacity_factor: float = 2.0):
+        self.mesh = mesh or make_mesh()
+        n_shards = self.mesh.devices.size
+        if n_shards & (n_shards - 1):
+            raise ValueError("number of devices must be a power of two")
+        self.config = dataclasses.replace(
+            config, shard_bits=int(math.log2(n_shards)))
+        self.capacity_factor = capacity_factor
+        self.genome_names: list[str] = []
+        w = self.config.words
+        cap = self.config.initial_capacity
+        dcap = self.config.initial_color_capacity
+
+        def shardit(x):
+            return jax.device_put(
+                x, jax.sharding.NamedSharding(self.mesh, P(AXIS)))
+
+        self.keys = shardit(np.full((n_shards, cap, w), 0xFFFFFFFF, np.uint32))
+        self.color_ref = shardit(np.full((n_shards, cap), -1, np.int32))
+        self.flags = shardit(np.zeros((n_shards, cap), np.uint8))
+        self.n = shardit(np.zeros((n_shards,), np.int32))
+        self.rows = shardit(np.zeros((n_shards, dcap, 1), np.uint32))
+        self.d = shardit(np.zeros((n_shards,), np.int32))
+        self.bloom = shardit(np.zeros(
+            (n_shards, 1 << (self.config.bloom_log2_bits - 5)), np.uint32))
+        self._n_max = 0          # max per-shard count (host mirror)
+        self._d_max = 0
+        self._singletons = None  # per-shard class id of {current genome}
+        self.total_dropped = 0
+        self._fn_cache: dict = {}
+
+    def _cached(self, kind: str, key, builder):
+        full_key = (kind,) + tuple(key)
+        fn = self._fn_cache.get(full_key)
+        if fn is None:
+            fn = jax.jit(builder())
+            self._fn_cache[full_key] = fn
+        return fn
+
+    # -- properties ------------------------------------------------------
+    @property
+    def k(self) -> int:
+        return self.config.k
+
+    @property
+    def n_shards(self) -> int:
+        return self.mesh.devices.size
+
+    @property
+    def nb_genomes(self) -> int:
+        return len(self.genome_names)
+
+    @property
+    def nb_kmers(self) -> int:
+        return int(np.asarray(jax.device_get(self.n)).sum())
+
+    # -- capacity --------------------------------------------------------
+    def _pad_axis(self, arr, new_cap, axis, fill):
+        pad = [(0, 0)] * arr.ndim
+        pad[axis] = (0, new_cap - arr.shape[axis])
+        host = np.asarray(jax.device_get(arr))
+        host = np.pad(host, pad, constant_values=fill)
+        return jax.device_put(
+            host, jax.sharding.NamedSharding(self.mesh, P(AXIS)))
+
+    def _ensure_capacity(self, extra_per_shard: int):
+        cap = self.keys.shape[1]
+        need = self._n_max + extra_per_shard
+        if need > cap:
+            new_cap = _next_pow2(need)
+            self.keys = self._pad_axis(self.keys, new_cap, 1, 0xFFFFFFFF)
+            self.color_ref = self._pad_axis(self.color_ref, new_cap, 1, -1)
+            self.flags = self._pad_axis(self.flags, new_cap, 1, 0)
+
+    def _ensure_colors(self, extra_per_shard: int):
+        dcap = self.rows.shape[1]
+        width = max(1, _next_pow2(math.ceil(max(self.nb_genomes, 1) / 32)))
+        need = self._d_max + extra_per_shard
+        if need > dcap or width > self.rows.shape[2]:
+            host = np.asarray(jax.device_get(self.rows))
+            host = np.pad(host, ((0, 0),
+                                 (0, max(_next_pow2(need), dcap) - dcap),
+                                 (0, max(width, host.shape[2]) - host.shape[2])))
+            self.rows = jax.device_put(
+                host, jax.sharding.NamedSharding(self.mesh, P(AXIS)))
+
+    # -- insertion -------------------------------------------------------
+    def start_genome(self, name: str) -> int:
+        gid = len(self.genome_names)
+        self.genome_names.append(name)
+        self._ensure_colors(1)
+        fn = jax.shard_map(
+            _append_singletons, mesh=self.mesh, check_vma=False,
+            in_specs=(P(AXIS), P(AXIS), P()),
+            out_specs=(P(AXIS), P(AXIS), P(AXIS)))
+        self.rows, self.d, singles = fn(
+            self.rows, self.d, jnp.asarray(gid, dtype=jnp.int32))
+        self._singletons = singles
+        self._d_max += 1
+        return gid
+
+    def _insert_chunk(self, chunk: np.ndarray, vchunk: np.ndarray,
+                      gid: int, depth: int = 0) -> None:
+        """Insert one padded global chunk; retry at half size on overflow.
+
+        Retrying re-inserts k-mers that already landed — safe, because
+        insertion is idempotent within one genome (set semantics plus the
+        same-genome color no-op, reference src/retrieveAnnotation.c:278).
+        """
+        n = self.n_shards
+        bsz = chunk.shape[0]
+        per_dev = bsz // n
+        route_cap = min(per_dev, max(
+            int(math.ceil(per_dev / n * self.capacity_factor)), 32))
+        local = n * route_cap  # per-device post-routing batch size
+        # worst case every received k-mer is new
+        self._ensure_capacity(local)
+        self._ensure_colors(local)
+        fn = self._cached(
+            "insert",
+            (self.keys.shape, self.rows.shape, bsz, route_cap),
+            lambda: jax.shard_map(
+                functools.partial(
+                    _insert_body, shard_bits=self.config.shard_bits,
+                    capacity=route_cap,
+                    log2_bloom=self.config.bloom_log2_bits),
+                mesh=self.mesh, check_vma=False,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                          P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
+                          P(AXIS), P()),
+                out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                           P(AXIS), P(AXIS), P())))
+        seeds = jnp.asarray(
+            [self.config.bloom_seed1, self.config.bloom_seed2],
+            dtype=jnp.uint32)
+        (self.keys, self.color_ref, self.flags, self.n, self.rows,
+         self.d, self.bloom, totals) = fn(
+            self.keys, self.color_ref, self.flags, self.n, self.rows,
+            self.d, self.bloom, jnp.asarray(chunk),
+            jnp.asarray(vchunk), jnp.asarray(gid, dtype=jnp.int32),
+            self._singletons, seeds)
+        t = jax.device_get(totals)
+        dropped = int(t["dropped"])
+        self._n_max = int(np.asarray(jax.device_get(self.n)).max())
+        self._d_max = int(np.asarray(jax.device_get(self.d)).max())
+        if dropped:
+            if bsz <= n or depth > 20:
+                raise RuntimeError(
+                    f"all_to_all capacity overflow even at batch {bsz}: "
+                    f"{dropped} k-mers dropped; raise capacity_factor")
+            self.total_dropped += dropped  # telemetry; retry makes it whole
+            half = max(n, ((bsz // 2) // n) * n)
+            for off in range(0, bsz, half):
+                sub = chunk[off: off + half]
+                vsub = vchunk[off: off + half]
+                if sub.shape[0] < half:
+                    pad = half - sub.shape[0]
+                    sub = np.pad(sub, ((0, pad), (0, 0)))
+                    vsub = np.pad(vsub, (0, pad))
+                self._insert_chunk(np.asarray(sub), np.asarray(vsub),
+                                   gid, depth + 1)
+
+    def insert_kmers_packed(self, packed: np.ndarray, valid=None):
+        if self._singletons is None:
+            raise RuntimeError("call start_genome() first")
+        packed = np.asarray(packed, dtype=np.uint32)
+        if valid is None:
+            valid = np.ones(packed.shape[0], dtype=bool)
+        n = self.n_shards
+        bsz = self.config.batch_size  # global batch (split over devices)
+        bsz = max(n, (bsz // n) * n)
+        gid = len(self.genome_names) - 1
+        for off in range(0, packed.shape[0], bsz):
+            chunk = packed[off: off + bsz]
+            vchunk = valid[off: off + bsz]
+            if chunk.shape[0] < bsz:
+                pad = bsz - chunk.shape[0]
+                chunk = np.pad(chunk, ((0, pad), (0, 0)))
+                vchunk = np.pad(vchunk, (0, pad))
+            self._insert_chunk(chunk, vchunk, gid)
+
+    def end_genome(self):
+        self._singletons = None
+
+    def insert_genome(self, name, packed, valid=None):
+        self.start_genome(name)
+        self.insert_kmers_packed(packed, valid)
+        self.end_genome()
+
+    # -- queries ---------------------------------------------------------
+    def query_kmers_packed(self, packed, valid=None):
+        packed = np.asarray(packed, dtype=np.uint32)
+        if valid is None:
+            valid = np.ones(packed.shape[0], dtype=bool)
+        fn = self._cached(
+            "query", (self.keys.shape, self.rows.shape, packed.shape),
+            lambda: jax.shard_map(
+                _query_body, mesh=self.mesh, check_vma=False,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+                out_specs=(P(), P())))
+        found, bitmap = fn(self.keys, self.color_ref, self.rows, self.n,
+                           jnp.asarray(packed), jnp.asarray(valid))
+        return np.asarray(found), np.asarray(bitmap)
+
+    def contains(self, kmer: str) -> bool:
+        packed, valid = codec.encode_strings([kmer], self.k)
+        found, _ = self.query_kmers_packed(packed, valid)
+        return bool(found[0])
+
+    def get_colors(self, kmer: str):
+        packed, valid = codec.encode_strings([kmer], self.k)
+        found, bitmap = self.query_kmers_packed(packed, valid)
+        if not found[0]:
+            return None
+        return BFTAnnotation(bitmap[0], self.nb_genomes)
+
+    def query_sequence(self, sequence, threshold: float, canonical: bool):
+        seq = sequence.encode() if isinstance(sequence, str) else sequence
+        nb_windows = len(seq) - self.k + 1
+        if nb_windows <= 0:
+            return np.zeros((0,), dtype=np.uint32)
+        need = math.ceil(nb_windows * threshold)
+        packed, valid = codec.kmerize_sequence(seq, self.k)
+        if canonical:
+            packed = codec.canonical_packed(packed, self.k)
+        _, bitmap = self.query_kmers_packed(packed, valid)
+        bits = np.unpackbits(bitmap.view(np.uint8).reshape(bitmap.shape[0], -1),
+                             axis=1, bitorder="little")
+        counts = bits.sum(axis=0)
+        return np.nonzero(counts[: self.nb_genomes] >= need)[0].astype(np.uint32)
+
+    def branching_count_packed(self, packed, valid=None) -> int:
+        packed = np.asarray(packed, dtype=np.uint32)
+        if valid is None:
+            valid = np.ones(packed.shape[0], dtype=bool)
+        fn = self._cached(
+            "branching", (self.keys.shape, packed.shape),
+            lambda: jax.shard_map(
+                functools.partial(_branching_body, k=self.k), mesh=self.mesh, check_vma=False,
+                in_specs=(P(AXIS), P(AXIS), P(), P()),
+                out_specs=P()))
+        mask = fn(self.keys, self.n, jnp.asarray(packed), jnp.asarray(valid))
+        return int(np.asarray(mask).sum())
+
+    # -- extraction ------------------------------------------------------
+    def extract_kmers_packed(self) -> np.ndarray:
+        """Global sorted table = concat of shard tables (prefix ranges)."""
+        keys = np.asarray(jax.device_get(self.keys))
+        ns = np.asarray(jax.device_get(self.n))
+        return np.concatenate([keys[s, : ns[s]] for s in range(self.n_shards)])
+
+    def extract_kmer_strings(self) -> list[str]:
+        return codec.decode_strings(self.extract_kmers_packed(), self.k)
