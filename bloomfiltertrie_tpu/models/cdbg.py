@@ -54,9 +54,9 @@ def _append_singleton(colors, genome_id):
 
 
 @jax.jit
-def _query_colors(table_keys, n, color_ref, rows, queries, valid):
+def _query_colors(table_keys, n, starts, color_ref, rows, queries, valid):
     """found[M], class id[M], color bitmap uint32[M, cw]."""
-    found, idx = ss.lookup(table_keys, n, queries)
+    found, idx = ss.lookup(table_keys, n, queries, starts)
     found = found & valid
     cls = jnp.where(found, color_ref[idx], -1)
     bitmap = jnp.where(found[:, None], rows[jnp.maximum(cls, 0)], 0)
@@ -64,8 +64,8 @@ def _query_colors(table_keys, n, color_ref, rows, queries, valid):
 
 
 @jax.jit
-def _presence_only(table_keys, n, queries, valid):
-    found, idx = ss.lookup(table_keys, n, queries)
+def _presence_only(table_keys, n, starts, queries, valid):
+    found, idx = ss.lookup(table_keys, n, queries, starts)
     return found & valid, idx
 
 
@@ -251,13 +251,14 @@ class ColoredDBG:
         else:
             valid = jnp.asarray(valid, dtype=bool)
         found, _, _, bitmap = _query_colors(
-            self.table.keys, self.table.n, self.table.color_ref,
-            self.colors.rows, packed, valid)
+            self.table.keys, self.table.n, self.table.bucket_starts,
+            self.table.color_ref, self.colors.rows, packed, valid)
         return np.asarray(found), np.asarray(bitmap)
 
     def contains(self, kmer: str) -> bool:
         packed, valid = codec.encode_strings([kmer], self.k)
         found, _ = _presence_only(self.table.keys, self.table.n,
+                                  self.table.bucket_starts,
                                   jnp.asarray(packed), jnp.asarray(valid))
         return bool(jax.device_get(found)[0])
 
@@ -323,7 +324,8 @@ class ColoredDBG:
         else:
             valid = jnp.asarray(valid, dtype=bool)
         sf, si, pf, pi = graph_ops.neighbor_presence(
-            self.table.keys, self.table.n, packed, valid, self.k)
+            self.table.keys, self.table.n, self.table.bucket_starts,
+            packed, valid, self.k)
         return (np.asarray(sf), np.asarray(si), np.asarray(pf), np.asarray(pi))
 
     def successors(self, kmer: str) -> list[str]:
@@ -353,7 +355,8 @@ class ColoredDBG:
         else:
             valid = jnp.asarray(valid, dtype=bool)
         mask = graph_ops.branching_mask(
-            self.table.keys, self.table.n, packed, valid, self.k)
+            self.table.keys, self.table.n, self.table.bucket_starts,
+            packed, valid, self.k)
         return int(jax.device_get(jnp.sum(mask.astype(jnp.int32))))
 
     # ------------------------------------------------------------------
@@ -416,7 +419,8 @@ class ColoredDBG:
             valid = jnp.ones(packed.shape[0], dtype=bool)
         else:
             valid = jnp.asarray(valid, dtype=bool)
-        found, idx = _presence_only(self.table.keys, self.table.n, packed, valid)
+        found, idx = _presence_only(self.table.keys, self.table.n,
+                                    self.table.bucket_starts, packed, valid)
         dest = jnp.where(found, idx, self.table.capacity)
         self.table.flags = self.table.flags.at[dest].set(
             jnp.uint8(flag), mode="drop")
@@ -427,7 +431,8 @@ class ColoredDBG:
             valid = jnp.ones(packed.shape[0], dtype=bool)
         else:
             valid = jnp.asarray(valid, dtype=bool)
-        found, idx = _presence_only(self.table.keys, self.table.n, packed, valid)
+        found, idx = _presence_only(self.table.keys, self.table.n,
+                                    self.table.bucket_starts, packed, valid)
         return np.asarray(jnp.where(found, self.table.flags[idx], 0))
 
     # ------------------------------------------------------------------
@@ -489,9 +494,12 @@ class ColoredDBG:
         cw = z["rows"].shape[1] if d else 1
         rows = np.zeros((dcap, cw), dtype=np.uint32)
         rows[:d] = z["rows"]
+        keys_d = jnp.asarray(keys)
+        n_d = jnp.asarray(n, dtype=jnp.int32)
         self.table = tbl.KmerTable(
-            keys=jnp.asarray(keys), color_ref=jnp.asarray(cref),
-            flags=jnp.asarray(flags), n=jnp.asarray(n, dtype=jnp.int32))
+            keys=keys_d, color_ref=jnp.asarray(cref),
+            flags=jnp.asarray(flags), n=n_d,
+            bucket_starts=ss.build_bucket_starts(keys_d, n_d))
         self.colors = tbl.ColorDict(rows=jnp.asarray(rows),
                                     d=jnp.asarray(d, dtype=jnp.int32))
         self.bloom = jnp.asarray(z["bloom"])

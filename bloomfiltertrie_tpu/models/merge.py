@@ -1,0 +1,123 @@
+"""Index-union: merge two ColoredDBGs into one (component #23).
+
+The reference ships an out-of-core BFT ⊎ BFT merge that is ~70% commented out
+and disconnected from the build (``merging_BFT`` src/merge.c:3-400, caller
+src/file_io.c:1022-1462 also commented; only ``l_insert_kmer`` still
+compiles).  This is the working TPU-era equivalent: genome ids of ``b`` are
+appended after ``a``'s (insertion order preserved), k-mer sets are united,
+and duplicate k-mers get the union of their color sets.
+
+Host-side NumPy implementation: merging is an offline maintenance operation
+(the reference's was disk-spill based); the result is re-uploaded as a fresh
+index.  Complexity O((na+nb) log) + O(unique (class_a, class_b) pairs).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from bloomfiltertrie_tpu.models.cdbg import ColoredDBG, _next_pow2
+
+
+def _shift_rows(rows: np.ndarray, offset: int, out_words: int) -> np.ndarray:
+    """Shift genome bitmaps left by ``offset`` bits into ``out_words`` words."""
+    d, cw = rows.shape
+    out = np.zeros((d, out_words), dtype=np.uint32)
+    word_off, bit_off = offset // 32, offset % 32
+    for wsrc in range(cw):
+        lo = rows[:, wsrc] << np.uint32(bit_off) if bit_off else rows[:, wsrc]
+        out[:, wsrc + word_off] |= lo.astype(np.uint32)
+        if bit_off:
+            hi = rows[:, wsrc] >> np.uint32(32 - bit_off)
+            if wsrc + word_off + 1 < out_words:
+                out[:, wsrc + word_off + 1] |= hi.astype(np.uint32)
+    return out
+
+
+def merge_cdbg(a: ColoredDBG, b: ColoredDBG) -> ColoredDBG:
+    """Union of two indexes; colors of shared k-mers are united."""
+    import jax
+
+    if a.k != b.k:
+        raise ValueError("cannot merge indexes with different k")
+    k = a.k
+    offset = a.nb_genomes
+    total_genomes = offset + b.nb_genomes
+    out_cw = max(1, _next_pow2((total_genomes + 31) // 32))
+
+    keys_a = a.extract_kmers_packed()
+    keys_b = b.extract_kmers_packed()
+    cls_a = np.asarray(jax.device_get(a.table.color_ref))[: a.nb_kmers]
+    cls_b = np.asarray(jax.device_get(b.table.color_ref))[: b.nb_kmers]
+    rows_a = np.asarray(jax.device_get(a.colors.rows))[: a.nb_color_classes]
+    rows_b = np.asarray(jax.device_get(b.colors.rows))[: b.nb_color_classes]
+
+    rows_a = np.pad(rows_a, ((0, 0), (0, out_cw - rows_a.shape[1])))
+    rows_b_shift = _shift_rows(rows_b, offset, out_cw)
+
+    # merge key sets (both already sorted; lexsort for the union)
+    w = keys_a.shape[1] if keys_a.size else keys_b.shape[1]
+    all_keys = np.concatenate([keys_a, keys_b])
+    src = np.concatenate([np.zeros(len(keys_a), np.int8),
+                          np.ones(len(keys_b), np.int8)])
+    cls = np.concatenate([cls_a, cls_b])
+    # np.lexsort: LAST key is primary -> (src least-significant, then words
+    # from last to first) so rows sort by key, ties broken a-before-b.
+    order = np.lexsort((src,) + tuple(all_keys[:, i]
+                                      for i in reversed(range(w))))
+    all_keys, src, cls = all_keys[order], src[order], cls[order]
+
+    dup_with_next = np.zeros(len(all_keys), dtype=bool)
+    if len(all_keys) > 1:
+        dup_with_next[:-1] = (all_keys[1:] == all_keys[:-1]).all(axis=1)
+    first = np.ones(len(all_keys), dtype=bool)
+    first[1:] = ~dup_with_next[:-1]
+
+    # class table for the merged index: [a's | b's shifted | pair classes]
+    da, db = rows_a.shape[0], rows_b_shift.shape[0]
+    merged_cls = np.where(src == 0, cls, cls + da)
+
+    # duplicate pairs: (class_a, class_b) -> new class = union row
+    dup_idx = np.nonzero(dup_with_next)[0]   # a-row of each (a,b) dup pair
+    pair_a = cls[dup_idx]
+    pair_b = cls[dup_idx + 1]
+    pairs = np.stack([pair_a, pair_b], axis=1)
+    uniq_pairs, pair_of = (np.unique(pairs, axis=0, return_inverse=True)
+                           if len(pairs) else
+                           (np.zeros((0, 2), np.int32), np.zeros(0, np.int64)))
+    pair_rows = (rows_a[uniq_pairs[:, 0]] | rows_b_shift[uniq_pairs[:, 1]]
+                 if len(uniq_pairs) else np.zeros((0, out_cw), np.uint32))
+    merged_cls[dup_idx] = da + db + pair_of
+
+    out_keys = all_keys[first]
+    out_cls = merged_cls[first].astype(np.int32)
+    all_rows = np.concatenate([rows_a, rows_b_shift, pair_rows])
+
+    # build the result index
+    cfg = a.config
+    out = ColoredDBG(cfg)
+    out.genome_names = list(a.genome_names) + list(b.genome_names)
+    import jax.numpy as jnp
+    from bloomfiltertrie_tpu.models import table as tbl
+    from bloomfiltertrie_tpu.ops import sortedset as ss
+
+    cap = max(_next_pow2(len(out_keys)), cfg.initial_capacity)
+    dcap = max(_next_pow2(len(all_rows) + 1), cfg.initial_color_capacity)
+    keys_full = np.full((cap, w), 0xFFFFFFFF, dtype=np.uint32)
+    keys_full[: len(out_keys)] = out_keys
+    cref_full = np.full((cap,), -1, dtype=np.int32)
+    cref_full[: len(out_cls)] = out_cls
+    rows_full = np.zeros((dcap, out_cw), dtype=np.uint32)
+    rows_full[: len(all_rows)] = all_rows
+    keys_d = jnp.asarray(keys_full)
+    n_d = jnp.asarray(len(out_keys), dtype=jnp.int32)
+    out.table = tbl.KmerTable(
+        keys=keys_d, color_ref=jnp.asarray(cref_full),
+        flags=jnp.zeros((cap,), dtype=jnp.uint8), n=n_d,
+        bucket_starts=ss.build_bucket_starts(keys_d, n_d))
+    out.colors = tbl.ColorDict(rows=jnp.asarray(rows_full),
+                               d=jnp.asarray(len(all_rows), dtype=jnp.int32))
+    out._n = len(out_keys)
+    out._d = len(all_rows)
+    out.compress_colors()  # gc duplicate/unreferenced classes
+    return out

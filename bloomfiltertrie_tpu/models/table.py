@@ -35,10 +35,11 @@ INT32_MAX = jnp.int32(2**31 - 1)
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class KmerTable:
-    keys: jnp.ndarray       # uint32[cap, W]
-    color_ref: jnp.ndarray  # int32[cap]
-    flags: jnp.ndarray      # uint8[cap]
-    n: jnp.ndarray          # int32 scalar
+    keys: jnp.ndarray           # uint32[cap, W]
+    color_ref: jnp.ndarray      # int32[cap]
+    flags: jnp.ndarray          # uint8[cap]
+    n: jnp.ndarray              # int32 scalar
+    bucket_starts: jnp.ndarray  # int32[65537]: prefix index (ops/sortedset)
 
     @property
     def capacity(self) -> int:
@@ -55,6 +56,7 @@ def empty_table(capacity: int, words: int) -> KmerTable:
         color_ref=jnp.full((capacity,), -1, dtype=jnp.int32),
         flags=jnp.zeros((capacity,), dtype=jnp.uint8),
         n=jnp.zeros((), dtype=jnp.int32),
+        bucket_starts=jnp.zeros((ss.NB_BUCKETS + 1,), dtype=jnp.int32),
     )
 
 
@@ -67,6 +69,7 @@ def grow_table(table: KmerTable, new_capacity: int) -> KmerTable:
         color_ref=jnp.pad(table.color_ref, (0, pad), constant_values=-1),
         flags=jnp.pad(table.flags, (0, pad)),
         n=table.n,
+        bucket_starts=table.bucket_starts,
     )
 
 
@@ -155,7 +158,7 @@ def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarr
 
     # 2. Split found / new.  (uvalid guard: a sentinel-padded row must never
     #    match a genuine all-T key in the table.)
-    found, idx = ss.lookup(table.keys, table.n, ukeys)
+    found, idx = ss.lookup(table.keys, table.n, ukeys, table.bucket_starts)
     found = found & uvalid
 
     # 3. Color update for found k-mers whose class lacks genome g.
@@ -193,16 +196,20 @@ def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarr
         jnp.where(affected, idx, table.capacity)].set(new_cls, mode="drop")
     colors = ColorDict(rows=rows, d=colors.d + n_new_cls)
 
-    # 4. Merge new k-mers (not found) into the table.
+    # 4. Merge new k-mers (not found) into the table.  The lookup's insertion
+    #    points double as the merge ranks (compacted through the same mask),
+    #    so the merge needs no second binary search.
     is_new = uvalid & ~found
-    m_new, nkeys = ss.compact(is_new, ukeys)
+    m_new, nkeys, nranks = ss.compact(is_new, ukeys, idx)
     merged_keys, merged_n, (merged_cref, merged_flags) = ss.merge_into(
         table.keys, table.n, nkeys, m_new,
         table_payloads=(color_ref, table.flags),
         new_payloads=(jnp.full((m,), singleton_cls, dtype=jnp.int32),
                       jnp.zeros((m,), dtype=jnp.uint8)),
         payload_fills=(-1, 0),
+        rank_old=nranks,
     )
+    merged_starts = ss.build_bucket_starts(merged_keys, merged_n)
 
     # 5. Bloom plane update for the new keys.
     new_valid = jnp.arange(m, dtype=jnp.int32) < m_new
@@ -210,7 +217,8 @@ def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarr
                                log2_bloom, seed1, seed2)
 
     table = KmerTable(keys=merged_keys, color_ref=merged_cref,
-                      flags=merged_flags, n=merged_n)
+                      flags=merged_flags, n=merged_n,
+                      bucket_starts=merged_starts)
     stats = {"unique": u_count, "new": m_new, "colored": n_new_cls,
              "n": merged_n, "d": colors.d}
     return table, colors, bloom_bits, stats

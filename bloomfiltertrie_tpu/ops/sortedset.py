@@ -85,6 +85,9 @@ def compact(mask: jnp.ndarray, keys: jnp.ndarray, *payloads,
     return (count, out_keys, *outs)
 
 
+NB_BUCKETS = 1 << 16  # prefix index over the top 16 bits of word 0
+
+
 @functools.partial(jax.jit, static_argnames=("side",))
 def searchsorted(table_keys: jnp.ndarray, queries: jnp.ndarray,
                  side: str = "left") -> jnp.ndarray:
@@ -118,13 +121,70 @@ def searchsorted(table_keys: jnp.ndarray, queries: jnp.ndarray,
     return lo
 
 
-def lookup(table_keys: jnp.ndarray, n: jnp.ndarray, queries: jnp.ndarray):
+def build_bucket_starts(table_keys: jnp.ndarray, n: jnp.ndarray) -> jnp.ndarray:
+    """Prefix index: starts[b] = first row whose top-16 bits of word 0 >= b.
+
+    The TPU analogue of the reference's SkipFilter2/SkipFilter3 rank
+    accelerators (include/CC.h:38-45): a 65537-entry partition of the sorted
+    key space that turns every subsequent search into ~log2(bucket) rounds.
+    Cost to rebuild: one 65536-query search — negligible next to a merge.
+    """
+    cap, w = table_keys.shape
+    bounds = jnp.zeros((NB_BUCKETS, w), dtype=jnp.uint32)
+    bounds = bounds.at[:, 0].set(
+        jax.lax.broadcasted_iota(jnp.uint32, (NB_BUCKETS, 1), 0).squeeze(-1)
+        << jnp.uint32(16))
+    starts = searchsorted(table_keys, bounds, side="left")
+    starts = jnp.minimum(starts, n)
+    return jnp.concatenate([starts, n[None].astype(jnp.int32)])
+
+
+@functools.partial(jax.jit, static_argnames=("side",))
+def searchsorted_bucketed(table_keys: jnp.ndarray, bucket_starts: jnp.ndarray,
+                          queries: jnp.ndarray, side: str = "left"):
+    """Binary search seeded by the prefix-bucket index.
+
+    Bounds start at the query's 16-bit-prefix bucket, so the while_loop runs
+    ~log2(max bucket population) rounds (~8-10 for uniform k-mers) instead of
+    log2(cap) — each round being the expensive random-gather step.
+    """
+    b = (queries[:, 0] >> jnp.uint32(16)).astype(jnp.int32)
+    lo = bucket_starts[b]
+    hi = bucket_starts[b + 1]
+
+    def cond(lohi):
+        lo, hi = lohi
+        return jnp.any(lo < hi)
+
+    def body(lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        rows = table_keys[jnp.minimum(mid, table_keys.shape[0] - 1)]
+        if side == "left":
+            go_right = mw_less(rows, queries)
+        else:
+            go_right = ~mw_less(queries, rows)
+        active = lo < hi
+        lo = jnp.where(active & go_right, mid + 1, lo)
+        hi = jnp.where(active & ~go_right, mid, hi)
+        return lo, hi
+
+    lo, hi = jax.lax.while_loop(cond, body, (lo, hi))
+    return lo
+
+
+def lookup(table_keys: jnp.ndarray, n: jnp.ndarray, queries: jnp.ndarray,
+           bucket_starts: jnp.ndarray | None = None):
     """Membership probe: returns (found bool [M], idx int32 [M]).
 
     ``idx`` is the row of the hit (undefined where not found).  Sentinel
     aliasing is excluded by the ``idx < n`` guard (see module docstring).
+    With ``bucket_starts`` the search is seeded by the prefix index.
     """
-    idx = searchsorted(table_keys, queries, side="left")
+    if bucket_starts is None:
+        idx = searchsorted(table_keys, queries, side="left")
+    else:
+        idx = searchsorted_bucketed(table_keys, bucket_starts, queries)
     safe = jnp.minimum(idx, table_keys.shape[0] - 1)
     found = (idx < n) & mw_equal(table_keys[safe], queries)
     return found, safe
@@ -161,12 +221,19 @@ def sort_unique(keys: jnp.ndarray, valid: jnp.ndarray):
 
 def merge_into(table_keys: jnp.ndarray, table_n: jnp.ndarray,
                new_keys: jnp.ndarray, new_count: jnp.ndarray,
-               table_payloads=(), new_payloads=(), payload_fills=()):
+               table_payloads=(), new_payloads=(), payload_fills=(),
+               rank_old: jnp.ndarray | None = None):
     """Merge ``new_count`` sorted-unique rows into a sorted sentinel table.
 
-    Pure rank arithmetic (no data-dependent shapes):
-      * old row i lands at i + |{new < old_i}| (searchsorted into new rows)
-      * new row r lands at r + |{old < new_r}| (searchsorted into old rows)
+    GATHER-formulated for TPU: scatters touch only M indicator elements; the
+    O(cap) part is a cumsum plus contiguous-ish gathers, which run at HBM
+    bandwidth (TPU scatters of full rows are ~15x slower than gathers).
+
+      * rank_old[r]  = |{old < new_r}|           (M-query binary search)
+      * pos_new[r]   = r + rank_old[r]           (output slot of new row r)
+      * is_new[j]    = scatter of M indicators   (which output slots are new)
+      * c[j]         = inclusive cumsum(is_new)  (#new rows at slots <= j)
+      * out[j]       = new[c[j]-1] if is_new[j] else old[j - c[j]]
 
     Precondition: new rows are disjoint from table rows (callers first split
     found/not-found via :func:`lookup`).  Returns
@@ -175,26 +242,28 @@ def merge_into(table_keys: jnp.ndarray, table_n: jnp.ndarray,
     cap = table_keys.shape[0]
     m = new_keys.shape[0]
 
-    old_valid = jnp.arange(cap, dtype=jnp.int32) < table_n
     new_valid = jnp.arange(m, dtype=jnp.int32) < new_count
 
-    rank_new = searchsorted(new_keys, table_keys, side="left")
-    pos_old = jnp.where(old_valid, jnp.arange(cap, dtype=jnp.int32)
-                        + jnp.minimum(rank_new, new_count), cap)
-    rank_old = searchsorted(table_keys, new_keys, side="left")
+    if rank_old is None:
+        rank_old = searchsorted(table_keys, new_keys, side="left")
     pos_new = jnp.where(new_valid, jnp.arange(m, dtype=jnp.int32)
                         + jnp.minimum(rank_old, table_n), cap)
 
-    out_keys = jnp.full_like(table_keys, SENTINEL)
-    out_keys = out_keys.at[pos_old].set(table_keys, mode="drop")
-    out_keys = out_keys.at[pos_new].set(new_keys, mode="drop")
+    is_new = jnp.zeros((cap,), dtype=jnp.int32).at[pos_new].set(1, mode="drop")
+    c = jnp.cumsum(is_new, dtype=jnp.int32)
+    old_src = jnp.arange(cap, dtype=jnp.int32) - c
+    new_src = c - 1
+    take_new = is_new == 1
+    # old rows beyond table_n are sentinel already; gathers stay in range
+    out_keys = jnp.where(take_new[:, None],
+                         new_keys[jnp.clip(new_src, 0, m - 1)],
+                         table_keys[jnp.clip(old_src, 0, cap - 1)])
 
     out_payloads = []
-    for i, (tp, np_) in enumerate(zip(table_payloads, new_payloads)):
-        fill = payload_fills[i] if payload_fills else 0
-        op = jnp.full_like(tp, fill)
-        op = op.at[pos_old].set(tp, mode="drop")
-        op = op.at[pos_new].set(np_, mode="drop")
+    for tp, np_ in zip(table_payloads, new_payloads):
+        op = jnp.where(take_new,
+                       np_[jnp.clip(new_src, 0, m - 1)],
+                       tp[jnp.clip(old_src, 0, cap - 1)])
         out_payloads.append(op)
 
     return out_keys, table_n + new_count, tuple(out_payloads)

@@ -93,12 +93,12 @@ def _route_to_owners(batch, valid, shard_bits: int, capacity: int):
     return recv_keys, recv_valid, dropped
 
 
-def _insert_body(keys, cref, flags, n, rows, d, bloom_bits,
+def _insert_body(keys, cref, flags, n, starts, rows, d, bloom_bits,
                  batch, valid, gid, singleton, seeds,
                  *, shard_bits: int, capacity: int, log2_bloom: int):
     # squeeze the per-device leading axis
     table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
-                          n=n[0])
+                          n=n[0], bucket_starts=starts[0])
     colors = tbl.ColorDict(rows=rows[0], d=d[0])
     local_keys, local_valid, dropped = _route_to_owners(
         batch, valid, shard_bits, capacity)
@@ -110,12 +110,12 @@ def _insert_body(keys, cref, flags, n, rows, d, bloom_bits,
         "dropped": jax.lax.psum(dropped, AXIS),
     }
     return (table.keys[None], table.color_ref[None], table.flags[None],
-            table.n[None], colors.rows[None], colors.d[None], bloom[None],
-            totals)
+            table.n[None], table.bucket_starts[None], colors.rows[None],
+            colors.d[None], bloom[None], totals)
 
 
-def _query_body(keys, cref, rows, n, queries, valid):
-    found, idx = ss.lookup(keys[0], n[0], queries)
+def _query_body(keys, cref, rows, n, starts, queries, valid):
+    found, idx = ss.lookup(keys[0], n[0], queries, starts[0])
     found = found & valid
     cls = jnp.where(found, cref[0][idx], -1)
     bitmap = jnp.where(found[:, None], rows[0][jnp.maximum(cls, 0)], 0)
@@ -124,11 +124,11 @@ def _query_body(keys, cref, rows, n, queries, valid):
     return found, bitmap
 
 
-def _branching_body(keys, n, queries, valid, *, k: int):
+def _branching_body(keys, n, starts, queries, valid, *, k: int):
     m = queries.shape[0]
     succ, pred = graph_ops.neighbor_candidates(queries, k)
     cand = jnp.concatenate([succ.reshape(m * 4, -1), pred.reshape(m * 4, -1)])
-    found, _ = ss.lookup(keys[0], n[0], cand)
+    found, _ = ss.lookup(keys[0], n[0], cand, starts[0])
     found = jax.lax.psum(found.astype(jnp.int32), AXIS)
     sf = found[: m * 4].reshape(m, 4).sum(axis=1)
     pf = found[m * 4:].reshape(m, 4).sum(axis=1)
@@ -176,6 +176,7 @@ class ShardedCDBG:
         self.color_ref = shardit(np.full((n_shards, cap), -1, np.int32))
         self.flags = shardit(np.zeros((n_shards, cap), np.uint8))
         self.n = shardit(np.zeros((n_shards,), np.int32))
+        self.starts = shardit(np.zeros((n_shards, ss.NB_BUCKETS + 1), np.int32))
         self.rows = shardit(np.zeros((n_shards, dcap, 1), np.uint32))
         self.d = shardit(np.zeros((n_shards,), np.int32))
         self.bloom = shardit(np.zeros(
@@ -283,17 +284,17 @@ class ShardedCDBG:
                     log2_bloom=self.config.bloom_log2_bits),
                 mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                          P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
+                          P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(),
                           P(AXIS), P()),
                 out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                           P(AXIS), P(AXIS), P())))
+                           P(AXIS), P(AXIS), P(AXIS), P())))
         seeds = jnp.asarray(
             [self.config.bloom_seed1, self.config.bloom_seed2],
             dtype=jnp.uint32)
-        (self.keys, self.color_ref, self.flags, self.n, self.rows,
-         self.d, self.bloom, totals) = fn(
-            self.keys, self.color_ref, self.flags, self.n, self.rows,
-            self.d, self.bloom, jnp.asarray(chunk),
+        (self.keys, self.color_ref, self.flags, self.n, self.starts,
+         self.rows, self.d, self.bloom, totals) = fn(
+            self.keys, self.color_ref, self.flags, self.n, self.starts,
+            self.rows, self.d, self.bloom, jnp.asarray(chunk),
             jnp.asarray(vchunk), jnp.asarray(gid, dtype=jnp.int32),
             self._singletons, seeds)
         t = jax.device_get(totals)
@@ -353,10 +354,12 @@ class ShardedCDBG:
             "query", (self.keys.shape, self.rows.shape, packed.shape),
             lambda: jax.shard_map(
                 _query_body, mesh=self.mesh, check_vma=False,
-                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                          P(), P()),
                 out_specs=(P(), P())))
         found, bitmap = fn(self.keys, self.color_ref, self.rows, self.n,
-                           jnp.asarray(packed), jnp.asarray(valid))
+                           self.starts, jnp.asarray(packed),
+                           jnp.asarray(valid))
         return np.asarray(found), np.asarray(bitmap)
 
     def contains(self, kmer: str) -> bool:
@@ -394,9 +397,10 @@ class ShardedCDBG:
             "branching", (self.keys.shape, packed.shape),
             lambda: jax.shard_map(
                 functools.partial(_branching_body, k=self.k), mesh=self.mesh, check_vma=False,
-                in_specs=(P(AXIS), P(AXIS), P(), P()),
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
                 out_specs=P()))
-        mask = fn(self.keys, self.n, jnp.asarray(packed), jnp.asarray(valid))
+        mask = fn(self.keys, self.n, self.starts, jnp.asarray(packed),
+                  jnp.asarray(valid))
         return int(np.asarray(mask).sum())
 
     # -- extraction ------------------------------------------------------
@@ -405,6 +409,103 @@ class ShardedCDBG:
         keys = np.asarray(jax.device_get(self.keys))
         ns = np.asarray(jax.device_get(self.n))
         return np.concatenate([keys[s, : ns[s]] for s in range(self.n_shards)])
+
+    # -- persistence (sharded checkpoint; mesh-size independent) ---------
+    def save(self, path: str):
+        """Checkpoint as a GLOBAL view so any mesh size can reload.
+
+        Reference analogue: write_BFT_Root (src/write_to_disk.c:21); the
+        sharded twist is that per-shard color-class ids are rebased into one
+        global dictionary so the file doesn't depend on the shard count.
+        """
+        import json
+        keys = np.asarray(jax.device_get(self.keys))
+        ns = np.asarray(jax.device_get(self.n))
+        ds = np.asarray(jax.device_get(self.d))
+        cref = np.asarray(jax.device_get(self.color_ref))
+        flags = np.asarray(jax.device_get(self.flags))
+        rows = np.asarray(jax.device_get(self.rows))
+        g_keys, g_cref, g_flags, g_rows = [], [], [], []
+        offset = 0
+        for s in range(self.n_shards):
+            g_keys.append(keys[s, : ns[s]])
+            g_cref.append(cref[s, : ns[s]] + offset)
+            g_flags.append(flags[s, : ns[s]])
+            g_rows.append(rows[s, : ds[s]])
+            offset += int(ds[s])
+        np.savez_compressed(
+            path if path.endswith(".npz") else path + ".npz",
+            keys=np.concatenate(g_keys), color_ref=np.concatenate(g_cref),
+            flags=np.concatenate(g_flags), rows=np.concatenate(g_rows),
+            manifest=np.frombuffer(json.dumps({
+                "config": dataclasses.asdict(
+                    dataclasses.replace(self.config, shard_bits=0)),
+                "genome_names": self.genome_names,
+                "sharded": True,
+            }).encode(), dtype=np.uint8))
+
+    @classmethod
+    def load(cls, path: str, mesh: Mesh | None = None,
+             capacity_factor: float = 2.0) -> "ShardedCDBG":
+        import json
+        import os
+        if not os.path.exists(path) and os.path.exists(path + ".npz"):
+            path = path + ".npz"
+        z = np.load(path)
+        manifest = json.loads(z["manifest"].tobytes().decode())
+        config = BFTConfig.from_dict(manifest["config"])
+        self = cls(config, mesh=mesh, capacity_factor=capacity_factor)
+        self.genome_names = list(manifest["genome_names"])
+        keys, cref, flags, rows = (z["keys"], z["color_ref"], z["flags"],
+                                   z["rows"])
+        n_shards = self.n_shards
+        sb = self.config.shard_bits
+        shard_of = ((keys[:, 0] >> np.uint32(32 - sb)).astype(np.int64)
+                    if sb else np.zeros(len(keys), np.int64))
+        counts = np.bincount(shard_of, minlength=n_shards)
+        cap = max(_next_pow2(int(counts.max()) if len(keys) else 1),
+                  config.initial_capacity)
+        d = rows.shape[0]
+        dcap = max(_next_pow2(d + 1), config.initial_color_capacity)
+        cw = rows.shape[1] if d else 1
+        w = self.config.words
+        keys_s = np.full((n_shards, cap, w), 0xFFFFFFFF, np.uint32)
+        cref_s = np.full((n_shards, cap), -1, np.int32)
+        flags_s = np.zeros((n_shards, cap), np.uint8)
+        n_s = np.zeros((n_shards,), np.int32)
+        # Global dictionary replicated per shard (compress_colors can gc it
+        # lazily); keys are globally sorted so shards are contiguous slices.
+        rows_s = np.zeros((n_shards, dcap, cw), np.uint32)
+        starts_np = np.zeros((n_shards, ss.NB_BUCKETS + 1), np.int32)
+        off = 0
+        for s in range(n_shards):
+            c = int(counts[s])
+            keys_s[s, :c] = keys[off: off + c]
+            cref_s[s, :c] = cref[off: off + c]
+            flags_s[s, :c] = flags[off: off + c]
+            n_s[s] = c
+            rows_s[s, :d] = rows
+            # per-shard prefix index, built host-side
+            top16 = (keys[off: off + c, 0] >> np.uint32(16)).astype(np.int64)
+            starts_np[s, :-1] = np.searchsorted(
+                top16, np.arange(ss.NB_BUCKETS), side="left")
+            starts_np[s, -1] = c
+            off += c
+
+        def shardit(x):
+            return jax.device_put(
+                x, jax.sharding.NamedSharding(self.mesh, P(AXIS)))
+
+        self.keys = shardit(keys_s)
+        self.color_ref = shardit(cref_s)
+        self.flags = shardit(flags_s)
+        self.n = shardit(n_s)
+        self.starts = shardit(starts_np)
+        self.rows = shardit(rows_s)
+        self.d = shardit(np.full((n_shards,), d, np.int32))
+        self._n_max = int(n_s.max()) if n_shards else 0
+        self._d_max = d
+        return self
 
     def extract_kmer_strings(self) -> list[str]:
         return codec.decode_strings(self.extract_kmers_packed(), self.k)

@@ -47,19 +47,60 @@ def read_kmer_file_ascii(path: str, k: int):
     """ASCII k-mer file -> (packed uint32 [N, W], valid bool [N]).
 
     Lines shorter than k are dropped (the reference's parse returns 0 and the
-    k-mer is not counted); IUPAC lines become invalid rows.
+    k-mer is not counted); IUPAC lines become invalid rows.  Uses the native
+    C++ parser when available (bloomfiltertrie_tpu/native), NumPy otherwise.
     """
-    rows = []
     with open(path, "rb") as f:
-        for line in f:
-            line = line.rstrip(b"\r\n")
-            if len(line) >= k:
-                rows.append(line[:k])
+        data = f.read()
+    from bloomfiltertrie_tpu import native
+    if native.available():
+        return native.parse_kmer_lines(data, k)
+    rows = []
+    for line in data.split(b"\n"):
+        line = line.rstrip(b"\r")
+        if len(line) >= k:
+            rows.append(line[:k])
     if not rows:
         w = codec.words_for_k(k)
         return np.zeros((0, w), dtype=np.uint32), np.zeros((0,), dtype=bool)
     arr = np.frombuffer(b"".join(rows), dtype=np.uint8).reshape(len(rows), k)
     return codec.encode_kmers(arr, k)
+
+
+def read_fasta_file(path: str, k: int):
+    """FASTA file -> (packed k-mer windows [N, W], valid bool [N]).
+
+    The reference's FASTx ingest path exists but is commented out
+    (``insert_Genomes_from_FASTxFiles`` src/file_io.c:277-318, with a
+    (k-1)-char carry so windows never cross chunk boundaries); this provides
+    the same capability: every record is k-merized independently.
+    """
+    with open(path, "rb") as f:
+        data = f.read()
+    from bloomfiltertrie_tpu import native
+    if native.available():
+        seqs = native.fasta_sequences(data)
+        parts = [native.kmerize_sequence(s, k) for s in seqs if s.size >= k]
+    else:
+        seqs = []
+        cur = []
+        for line in data.split(b"\n"):
+            line = line.strip()
+            if line.startswith(b">"):
+                if cur:
+                    seqs.append(b"".join(cur))
+                    cur = []
+            elif line:
+                cur.append(line)
+        if cur:
+            seqs.append(b"".join(cur))
+        parts = [codec.kmerize_sequence(s, k) for s in seqs if len(s) >= k]
+    w = codec.words_for_k(k)
+    if not parts:
+        return np.zeros((0, w), dtype=np.uint32), np.zeros((0,), dtype=bool)
+    packed = np.concatenate([p for p, _ in parts])
+    valid = np.concatenate([v for _, v in parts])
+    return packed, valid
 
 
 def read_kmer_file_comp(path: str, expected_k: int | None = None):
