@@ -53,20 +53,27 @@ def _append_singleton(colors, genome_id):
     return tbl.append_singleton_class(colors, genome_id)
 
 
-@jax.jit
-def _query_colors(table_keys, n, starts, color_ref, rows, queries, valid):
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _query_colors(table_keys, n, starts, color_ref, rows, queries, valid,
+                  use_pallas=False):
     """found[M], class id[M], color bitmap uint32[M, cw]."""
-    found, idx = ss.lookup(table_keys, n, queries, starts)
-    found = found & valid
+    found, idx = _lookup(table_keys, n, starts, queries, valid, use_pallas)
     cls = jnp.where(found, color_ref[idx], -1)
     bitmap = jnp.where(found[:, None], rows[jnp.maximum(cls, 0)], 0)
     return found, idx, cls, bitmap
 
 
-@jax.jit
-def _presence_only(table_keys, n, starts, queries, valid):
+def _lookup(table_keys, n, starts, queries, valid, use_pallas):
+    if use_pallas:
+        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        return pk.lookup_unsorted(table_keys, n, queries, valid)
     found, idx = ss.lookup(table_keys, n, queries, starts)
     return found & valid, idx
+
+
+@functools.partial(jax.jit, static_argnames=("use_pallas",))
+def _presence_only(table_keys, n, starts, queries, valid, use_pallas=False):
+    return _lookup(table_keys, n, starts, queries, valid, use_pallas)
 
 
 @jax.jit
@@ -114,6 +121,14 @@ class ColoredDBG:
         self._cur_singleton = None   # class id of {current genome}
         self._genomes_since_compress = 0
         self.marking_enabled = False
+        # Streaming Pallas kernels need a TPU backend and TILE-aligned
+        # capacity (pow2 >= 2048 is always TILE-aligned).
+        self.use_pallas = jax.default_backend() == "tpu"
+
+    def _pallas_eligible(self) -> bool:
+        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        return (self.use_pallas and self.table.capacity % pk.TILE == 0
+                and self.table.capacity >= pk.TILE)
 
     # ------------------------------------------------------------------
     # basics
@@ -202,7 +217,8 @@ class ColoredDBG:
                 jnp.asarray(self._cur_singleton, dtype=jnp.int32),
                 cfg.bloom_log2_bits,
                 jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
-                jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32))
+                jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32),
+                use_pallas=self._pallas_eligible())
             if sync_stats:
                 s = jax.device_get(stats)
                 self._n = int(s["n"])
@@ -252,14 +268,16 @@ class ColoredDBG:
             valid = jnp.asarray(valid, dtype=bool)
         found, _, _, bitmap = _query_colors(
             self.table.keys, self.table.n, self.table.bucket_starts,
-            self.table.color_ref, self.colors.rows, packed, valid)
+            self.table.color_ref, self.colors.rows, packed, valid,
+            use_pallas=self._pallas_eligible())
         return np.asarray(found), np.asarray(bitmap)
 
     def contains(self, kmer: str) -> bool:
         packed, valid = codec.encode_strings([kmer], self.k)
         found, _ = _presence_only(self.table.keys, self.table.n,
                                   self.table.bucket_starts,
-                                  jnp.asarray(packed), jnp.asarray(valid))
+                                  jnp.asarray(packed), jnp.asarray(valid),
+                                  use_pallas=self._pallas_eligible())
         return bool(jax.device_get(found)[0])
 
     def get_colors(self, kmer: str) -> BFTAnnotation | None:
@@ -325,7 +343,7 @@ class ColoredDBG:
             valid = jnp.asarray(valid, dtype=bool)
         sf, si, pf, pi = graph_ops.neighbor_presence(
             self.table.keys, self.table.n, self.table.bucket_starts,
-            packed, valid, self.k)
+            packed, valid, self.k, use_pallas=self._pallas_eligible())
         return (np.asarray(sf), np.asarray(si), np.asarray(pf), np.asarray(pi))
 
     def successors(self, kmer: str) -> list[str]:
@@ -356,7 +374,7 @@ class ColoredDBG:
             valid = jnp.asarray(valid, dtype=bool)
         mask = graph_ops.branching_mask(
             self.table.keys, self.table.n, self.table.bucket_starts,
-            packed, valid, self.k)
+            packed, valid, self.k, use_pallas=self._pallas_eligible())
         return int(jax.device_get(jnp.sum(mask.astype(jnp.int32))))
 
     # ------------------------------------------------------------------
@@ -420,7 +438,8 @@ class ColoredDBG:
         else:
             valid = jnp.asarray(valid, dtype=bool)
         found, idx = _presence_only(self.table.keys, self.table.n,
-                                    self.table.bucket_starts, packed, valid)
+                                    self.table.bucket_starts, packed, valid,
+                                    use_pallas=self._pallas_eligible())
         dest = jnp.where(found, idx, self.table.capacity)
         self.table.flags = self.table.flags.at[dest].set(
             jnp.uint8(flag), mode="drop")
@@ -432,7 +451,8 @@ class ColoredDBG:
         else:
             valid = jnp.asarray(valid, dtype=bool)
         found, idx = _presence_only(self.table.keys, self.table.n,
-                                    self.table.bucket_starts, packed, valid)
+                                    self.table.bucket_starts, packed, valid,
+                                    use_pallas=self._pallas_eligible())
         return np.asarray(jnp.where(found, self.table.flags[idx], 0))
 
     # ------------------------------------------------------------------

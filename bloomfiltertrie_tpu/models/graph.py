@@ -77,8 +77,9 @@ def neighbor_candidates(keys: jnp.ndarray, k: int):
     return succ, pred
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def neighbor_presence(table_keys, n, starts, queries, valid, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def neighbor_presence(table_keys, n, starts, queries, valid, k: int,
+                      use_pallas: bool = False):
     """For each query k-mer: presence of its 4 successors and 4 predecessors.
 
     Returns (succ_found bool[M,4], succ_idx int32[M,4],
@@ -87,21 +88,28 @@ def neighbor_presence(table_keys, n, starts, queries, valid, k: int):
     m = queries.shape[0]
     succ, pred = neighbor_candidates(queries, k)
     cand = jnp.concatenate([succ.reshape(m * 4, -1), pred.reshape(m * 4, -1)])
-    found, idx = ss.lookup(table_keys, n, cand, starts)
-    found = found & jnp.tile(jnp.repeat(valid, 4), 2)
+    cand_valid = jnp.tile(jnp.repeat(valid, 4), 2)
+    if use_pallas:
+        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        found, idx = pk.lookup_unsorted(table_keys, n, cand, cand_valid)
+    else:
+        found, idx = ss.lookup(table_keys, n, cand, starts)
+        found = found & cand_valid
     return (found[: m * 4].reshape(m, 4), idx[: m * 4].reshape(m, 4),
             found[m * 4:].reshape(m, 4), idx[m * 4:].reshape(m, 4))
 
 
-@functools.partial(jax.jit, static_argnames=("k",))
-def branching_mask(table_keys, n, starts, queries, valid, k: int):
+@functools.partial(jax.jit, static_argnames=("k", "use_pallas"))
+def branching_mask(table_keys, n, starts, queries, valid, k: int,
+                   use_pallas: bool = False):
     """Branching test per query k-mer.
 
     Reference semantics (src/file_io.c:943-948): a k-mer is branching iff it
     has > 1 present successors, or else > 1 present predecessors; the query
     k-mer's own presence is NOT required.
     """
-    sf, _, pf, _ = neighbor_presence(table_keys, n, starts, queries, valid, k)
+    sf, _, pf, _ = neighbor_presence(table_keys, n, starts, queries, valid,
+                                     k, use_pallas=use_pallas)
     nb_r = jnp.sum(sf.astype(jnp.int32), axis=1)
     nb_l = jnp.sum(pf.astype(jnp.int32), axis=1)
     return ((nb_r > 1) | (nb_l > 1)) & valid

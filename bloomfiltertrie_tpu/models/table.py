@@ -133,7 +133,8 @@ def append_singleton_class(colors: ColorDict, genome_id) -> tuple[ColorDict, jnp
 def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarray,
                       batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
                       genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
-                      log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray):
+                      log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
+                      use_pallas: bool = False):
     """Insert one batch of k-mers for genome ``genome_id``.
 
     The functional analogue of the reference's hot loop ``insertKmers`` ->
@@ -157,9 +158,15 @@ def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarr
     uvalid = jnp.arange(m, dtype=jnp.int32) < u_count
 
     # 2. Split found / new.  (uvalid guard: a sentinel-padded row must never
-    #    match a genuine all-T key in the table.)
-    found, idx = ss.lookup(table.keys, table.n, ukeys, table.bucket_starts)
-    found = found & uvalid
+    #    match a genuine all-T key in the table.)  ukeys are sorted, so the
+    #    streaming Pallas rank kernel applies (7.5x the XLA binary search).
+    if use_pallas:
+        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        found, rank = pk.rank_sorted(table.keys, table.n, ukeys, uvalid)
+        idx = jnp.minimum(rank, table.capacity - 1)
+    else:
+        found, idx = ss.lookup(table.keys, table.n, ukeys, table.bucket_starts)
+        found = found & uvalid
 
     # 3. Color update for found k-mers whose class lacks genome g.
     cls = jnp.where(found, table.color_ref[idx], INT32_MAX)
@@ -209,7 +216,13 @@ def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarr
         payload_fills=(-1, 0),
         rank_old=nranks,
     )
-    merged_starts = ss.build_bucket_starts(merged_keys, merged_n)
+    if use_pallas:
+        # The Pallas rank kernel replaces every bucket-index consumer on this
+        # backend; carrying the stale index saves its rebuild search.  (It is
+        # refreshed by build_bucket_starts on save/load and unused otherwise.)
+        merged_starts = table.bucket_starts
+    else:
+        merged_starts = ss.build_bucket_starts(merged_keys, merged_n)
 
     # 5. Bloom plane update for the new keys.
     new_valid = jnp.arange(m, dtype=jnp.int32) < m_new
@@ -225,7 +238,8 @@ def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarr
 
 
 insert_batch = functools.partial(
-    jax.jit, static_argnames=("log2_bloom",), donate_argnums=(0, 1, 2)
+    jax.jit, static_argnames=("log2_bloom", "use_pallas"),
+    donate_argnums=(0, 1, 2)
 )(insert_batch_impl)
 
 
@@ -241,8 +255,10 @@ def compress_colors(table: KmerTable, colors: ColorDict):
     """
     dcap, cw = colors.rows.shape
 
+    row_live = (table.color_ref >= 0) & (
+        jnp.arange(table.capacity, dtype=jnp.int32) < table.n)
     live = jnp.zeros((dcap,), dtype=bool).at[
-        jnp.where(table.color_ref >= 0, table.color_ref, dcap)
+        jnp.where(row_live, table.color_ref, dcap)
     ].set(True, mode="drop")
 
     # Leading "dead" sort key keeps dead rows strictly after live rows so a

@@ -225,45 +225,35 @@ def merge_into(table_keys: jnp.ndarray, table_n: jnp.ndarray,
                rank_old: jnp.ndarray | None = None):
     """Merge ``new_count`` sorted-unique rows into a sorted sentinel table.
 
-    GATHER-formulated for TPU: scatters touch only M indicator elements; the
-    O(cap) part is a cumsum plus contiguous-ish gathers, which run at HBM
-    bandwidth (TPU scatters of full rows are ~15x slower than gathers).
+    SORT-formulated for TPU: one (cap+M)-row multi-operand ``lax.sort`` of the
+    concatenation, then slice the first cap rows.  TPU sorts run near HBM
+    bandwidth (measured 61 ms for 16M rows with 2 keys + 2 payloads), while
+    the alternative O(cap) random gathers are latency-bound (~1 s) and O(cap)
+    scatters are worse still — the sort wins by ~15x.
 
-      * rank_old[r]  = |{old < new_r}|           (M-query binary search)
-      * pos_new[r]   = r + rank_old[r]           (output slot of new row r)
-      * is_new[j]    = scatter of M indicators   (which output slots are new)
-      * c[j]         = inclusive cumsum(is_new)  (#new rows at slots <= j)
-      * out[j]       = new[c[j]-1] if is_new[j] else old[j - c[j]]
-
-    Precondition: new rows are disjoint from table rows (callers first split
-    found/not-found via :func:`lookup`).  Returns
-    (merged_keys, merged_n, merged_payloads).
+    Preconditions: new rows are disjoint from table rows (callers split
+    found/not-found via :func:`lookup` first) and rows beyond ``new_count``
+    are sentinel.  ``rank_old`` is accepted for API compatibility and unused.
+    Returns (merged_keys, merged_n, merged_payloads).
     """
-    cap = table_keys.shape[0]
+    del rank_old
+    cap, w = table_keys.shape
     m = new_keys.shape[0]
-
-    new_valid = jnp.arange(m, dtype=jnp.int32) < new_count
-
-    if rank_old is None:
-        rank_old = searchsorted(table_keys, new_keys, side="left")
-    pos_new = jnp.where(new_valid, jnp.arange(m, dtype=jnp.int32)
-                        + jnp.minimum(rank_old, table_n), cap)
-
-    is_new = jnp.zeros((cap,), dtype=jnp.int32).at[pos_new].set(1, mode="drop")
-    c = jnp.cumsum(is_new, dtype=jnp.int32)
-    old_src = jnp.arange(cap, dtype=jnp.int32) - c
-    new_src = c - 1
-    take_new = is_new == 1
-    # old rows beyond table_n are sentinel already; gathers stay in range
-    out_keys = jnp.where(take_new[:, None],
-                         new_keys[jnp.clip(new_src, 0, m - 1)],
-                         table_keys[jnp.clip(old_src, 0, cap - 1)])
-
-    out_payloads = []
-    for tp, np_ in zip(table_payloads, new_payloads):
-        op = jnp.where(take_new,
-                       np_[jnp.clip(new_src, 0, m - 1)],
-                       tp[jnp.clip(old_src, 0, cap - 1)])
-        out_payloads.append(op)
-
-    return out_keys, table_n + new_count, tuple(out_payloads)
+    # Leading dead-row flag: a genuine all-T key (== sentinel bit pattern when
+    # k == 16*W) must sort before the sentinel padding, or the [:cap] slice
+    # could drop it.
+    dead = jnp.concatenate([
+        (jnp.arange(cap, dtype=jnp.int32) >= table_n).astype(jnp.uint32),
+        (jnp.arange(m, dtype=jnp.int32) >= new_count).astype(jnp.uint32)])
+    operands = (dead,) + tuple(
+        jnp.concatenate([table_keys[:, i], new_keys[:, i]]) for i in range(w))
+    payload_ops = tuple(
+        jnp.concatenate([tp, np_])
+        for tp, np_ in zip(table_payloads, new_payloads))
+    out = jax.lax.sort(operands + payload_ops, num_keys=w + 1)
+    # live rows (n + new_count <= cap) all land in the first cap slots
+    out_keys = jnp.stack([out[1 + i][:cap] for i in range(w)], axis=-1)
+    out_keys = jnp.where((out[0][:cap] == 0)[:, None], out_keys,
+                         jnp.full_like(out_keys, SENTINEL))
+    out_payloads = tuple(out[1 + w + i][:cap] for i in range(len(payload_ops)))
+    return out_keys, table_n + new_count, out_payloads

@@ -95,7 +95,8 @@ def _route_to_owners(batch, valid, shard_bits: int, capacity: int):
 
 def _insert_body(keys, cref, flags, n, starts, rows, d, bloom_bits,
                  batch, valid, gid, singleton, seeds,
-                 *, shard_bits: int, capacity: int, log2_bloom: int):
+                 *, shard_bits: int, capacity: int, log2_bloom: int,
+                 use_pallas: bool = False):
     # squeeze the per-device leading axis
     table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
                           n=n[0], bucket_starts=starts[0])
@@ -104,7 +105,8 @@ def _insert_body(keys, cref, flags, n, starts, rows, d, bloom_bits,
         batch, valid, shard_bits, capacity)
     table, colors, bloom, stats = tbl.insert_batch_impl(
         table, colors, bloom_bits[0], local_keys, local_valid,
-        gid, singleton[0], log2_bloom, seeds[0], seeds[1])
+        gid, singleton[0], log2_bloom, seeds[0], seeds[1],
+        use_pallas=use_pallas)
     totals = {
         "new": jax.lax.psum(stats["new"], AXIS),
         "dropped": jax.lax.psum(dropped, AXIS),
@@ -186,6 +188,12 @@ class ShardedCDBG:
         self._singletons = None  # per-shard class id of {current genome}
         self.total_dropped = 0
         self._fn_cache: dict = {}
+        self.use_pallas = jax.default_backend() == "tpu"
+
+    def _pallas_eligible(self) -> bool:
+        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        cap = self.keys.shape[1]
+        return self.use_pallas and cap % pk.TILE == 0 and cap >= pk.TILE
 
     def _cached(self, kind: str, key, builder):
         full_key = (kind,) + tuple(key)

@@ -3,6 +3,7 @@
 Usage: python scripts/profile_insert.py [cap_log] [batch_log]
 """
 
+import functools
 import os
 import sys
 import time
@@ -83,16 +84,27 @@ def bloom_part(bloom, batch):
 timed("bloom add", bloom_part, bloom, batch)
 
 
-@jax.jit
-def full_insert(table_keys, cref, flags, n, rows, bloom, batch):
-    t = tbl.KmerTable(keys=table_keys, color_ref=cref, flags=flags, n=n,
-                      bucket_starts=starts)
-    c = tbl.ColorDict(rows=rows, d=jnp.asarray(2, jnp.int32))
-    t2, c2, b2, stats = tbl.insert_batch_impl(
-        t, c, bloom, batch, jnp.ones((M,), bool),
-        jnp.int32(1), jnp.int32(1), 26, jnp.uint32(1), jnp.uint32(2))
-    return stats["n"]
+def mk_full_insert(use_pallas):
+    @jax.jit
+    def full_insert(table_keys, cref, flags, n, rows, bloom, batch):
+        t = tbl.KmerTable(keys=table_keys, color_ref=cref, flags=flags, n=n,
+                          bucket_starts=starts)
+        c = tbl.ColorDict(rows=rows, d=jnp.asarray(2, jnp.int32))
+        t2, c2, b2, stats = tbl.insert_batch_impl(
+            t, c, bloom, batch, jnp.ones((M,), bool),
+            jnp.int32(1), jnp.int32(1), 26, jnp.uint32(1), jnp.uint32(2),
+            use_pallas=use_pallas)
+        return stats["n"]
+    return full_insert
 
 
-timed("FULL insert_batch", full_insert, table_keys, cref, flags, n,
-      rows, bloom, batch)
+timed("FULL insert_batch (xla)", mk_full_insert(False), table_keys, cref,
+      flags, n, rows, bloom, batch)
+if jax.default_backend() == "tpu":
+    from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+    timed("pallas rank_sorted", functools.partial(pk.rank_sorted),
+          table_keys, n, batch_sorted := jnp.stack(jax.lax.sort(
+              tuple(batch[:, i] for i in range(W)), num_keys=W), axis=-1),
+          valid)
+    timed("FULL insert_batch (pallas)", mk_full_insert(True), table_keys,
+          cref, flags, n, rows, bloom, batch)

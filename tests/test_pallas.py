@@ -1,0 +1,95 @@
+"""Pallas kernel semantics vs the XLA reference path (interpret mode on CPU)."""
+
+import numpy as np
+import pytest
+import jax
+import jax.numpy as jnp
+
+from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+from bloomfiltertrie_tpu.ops import sortedset as ss
+
+
+def make_table(rng, cap, n, w, hi=1 << 20):
+    rows = np.unique(
+        rng.integers(0, hi, size=(n * 2, w), dtype=np.uint32).astype(np.uint32),
+        axis=0)[:n]
+    table = np.full((cap, w), 0xFFFFFFFF, np.uint32)
+    table[: rows.shape[0]] = rows
+    return table, rows.shape[0]
+
+
+@pytest.mark.parametrize("w", [1, 2, 4])
+def test_rank_sorted_matches_xla(w):
+    rng = np.random.default_rng(w)
+    cap = pk.TILE * 4
+    table, n = make_table(rng, cap, cap // 2, w)
+    m = 1 << 10
+    q = np.concatenate([
+        table[rng.integers(0, n, m // 3)],
+        rng.integers(0, 1 << 20, size=(m - m // 3, w), dtype=np.uint32).astype(np.uint32),
+    ])
+    q = q[np.lexsort(tuple(q[:, i] for i in reversed(range(w))))]
+    valid = np.ones(m, bool)
+    valid[-17:] = False
+    q[~valid] = 0xFFFFFFFF
+
+    found_ref, _ = ss.lookup(jnp.asarray(table), jnp.asarray(n), jnp.asarray(q))
+    found_ref = np.asarray(found_ref) & valid
+    rank_ref = np.asarray(ss.searchsorted(jnp.asarray(table), jnp.asarray(q)))
+
+    found, rank = pk.rank_sorted(jnp.asarray(table), jnp.asarray(n),
+                                 jnp.asarray(q), jnp.asarray(valid),
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(found), found_ref)
+    np.testing.assert_array_equal(np.asarray(rank), rank_ref)
+
+
+def test_rank_sorted_clustered_queries():
+    """All queries landing in one tile exercises the chunk loop + RMW path."""
+    rng = np.random.default_rng(9)
+    w = 2
+    cap = pk.TILE * 4
+    table, n = make_table(rng, cap, cap // 2, w)
+    # every query inside the key range of a single tile
+    lo = pk.TILE + 5
+    m = pk.QMAX * 3 + 7
+    q = np.repeat(table[lo][None, :], m, axis=0)
+    q[:, 1] = np.sort(rng.integers(0, 1 << 32, size=m, dtype=np.uint32).astype(np.uint32))
+    order = np.lexsort((q[:, 1], q[:, 0]))
+    q = q[order]
+    valid = np.ones(m, bool)
+    rank_ref = np.asarray(ss.searchsorted(jnp.asarray(table), jnp.asarray(q)))
+    found, rank = pk.rank_sorted(jnp.asarray(table), jnp.asarray(n),
+                                 jnp.asarray(q), jnp.asarray(valid),
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(rank), rank_ref)
+
+
+def test_lookup_unsorted_interpret(monkeypatch):
+    rng = np.random.default_rng(3)
+    w = 2
+    cap = pk.TILE * 2
+    table, n = make_table(rng, cap, cap // 3, w)
+    m = 513
+    q = np.concatenate([
+        table[rng.integers(0, n, 200)],
+        rng.integers(0, 1 << 20, size=(m - 200, w), dtype=np.uint32).astype(np.uint32),
+    ])
+    rng.shuffle(q)
+    valid = rng.random(m) < 0.9
+
+    # route the nested rank_sorted through interpret mode on CPU
+    real = pk.rank_sorted
+    monkeypatch.setattr(
+        pk, "rank_sorted",
+        lambda tk, nn, qq, vv, interpret=False: real(tk, nn, qq, vv,
+                                                     interpret=True))
+    found, idx = pk.lookup_unsorted(jnp.asarray(table), jnp.asarray(n),
+                                    jnp.asarray(q), jnp.asarray(valid))
+    found_ref, idx_ref = ss.lookup(jnp.asarray(table), jnp.asarray(n),
+                                   jnp.asarray(q))
+    found_ref = np.asarray(found_ref) & valid
+    np.testing.assert_array_equal(np.asarray(found), found_ref)
+    # idx only meaningful where found
+    np.testing.assert_array_equal(np.asarray(idx)[found_ref],
+                                  np.asarray(idx_ref)[found_ref])
