@@ -46,6 +46,11 @@ class BFTConfig:
         is the top ``shard_bits`` bits of the first packed word (the analogue
         of the reference trie's first 9-char prefix level as hash partition).
       batch_size: host->device ingestion batch size in k-mers.
+      pending_runs: run-buffer depth of the LSM-lite insert path — how many
+        sorted batches accumulate before a forced merge into the main table
+        (the merge always runs at end of genome).  The TPU analogue of the
+        reference's UC capacity before a burst (NB_KMERS_PER_UC=255,
+        include/default_param.h:17-31).
     """
 
     k: int = 27
@@ -57,6 +62,7 @@ class BFTConfig:
     treshold_compression: int = 1
     shard_bits: int = 0
     batch_size: int = 1 << 20
+    pending_runs: int = 8
     canonical: bool = False
 
     def __post_init__(self):

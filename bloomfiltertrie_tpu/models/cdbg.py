@@ -120,6 +120,11 @@ class ColoredDBG:
         self._d = 0           # host mirror of colors.d
         self._cur_singleton = None   # class id of {current genome}
         self._genomes_since_compress = 0
+        # Run-buffered insert state (tbl.PendingRuns); created lazily on the
+        # first insert so the run size can adapt to the actual input scale.
+        self.runs = None
+        self._pending_used = 0
+        self._run_size = None
         self.marking_enabled = False
         # Streaming Pallas kernels need a TPU backend and TILE-aligned
         # capacity (pow2 >= 2048 is always TILE-aligned).
@@ -143,6 +148,7 @@ class ColoredDBG:
 
     @property
     def nb_kmers(self) -> int:
+        self.flush()
         return self._n
 
     @property
@@ -183,11 +189,18 @@ class ColoredDBG:
     def insert_kmers_packed(self, packed, valid=None, sync_stats: bool = True):
         """Insert packed k-mers [M, W] into the current genome, batched.
 
+        Run-buffered fast path: each batch does color updates immediately but
+        parks new keys in a sorted pending run (tbl.insert_batch_pending);
+        the O(capacity) merge happens once per genome / full run buffer
+        (:meth:`flush`).  Every read API flushes first, so observable
+        semantics are identical to immediate insertion.
+
         ``packed`` may be a NumPy array or a device-resident jax array (the
         latter avoids host->device transfer — important when PCIe/tunnel
         bandwidth is the bottleneck).  With ``sync_stats=False`` no per-batch
-        host sync happens and **capacity checks are skipped** — the caller
-        must have pre-sized table/colors; call :meth:`sync_counts` after.
+        host sync happens and **color-capacity checks are skipped** — the
+        caller must have pre-sized the color dictionary; call
+        :meth:`sync_counts` after.
         """
         if self._cur_singleton is None:
             raise RuntimeError("call start_genome() before inserting k-mers")
@@ -196,36 +209,63 @@ class ColoredDBG:
             packed = np.asarray(packed, dtype=np.uint32)
         if valid is None:
             valid = (jnp if on_device else np).ones(packed.shape[0], dtype=bool)
-        bsz = self.config.batch_size
+        if self.runs is None:
+            self._run_size = min(self.config.batch_size,
+                                 max(_next_pow2(packed.shape[0]), 256))
+            self.runs = tbl.empty_runs(self.config.pending_runs,
+                                       self._run_size, self.config.words)
+        bsz = self._run_size
         gid = len(self.genome_names) - 1
-        cfg = self.config
-        xp = jnp if on_device else np
-        for off in range(0, packed.shape[0], bsz):
-            chunk = packed[off: off + bsz]
-            vchunk = valid[off: off + bsz]
-            if chunk.shape[0] < bsz:  # pad for a stable jit shape
-                pad = bsz - chunk.shape[0]
-                chunk = xp.pad(chunk, ((0, pad), (0, 0)))
-                vchunk = xp.pad(vchunk, (0, pad))
+        n_in = packed.shape[0]
+        for off in range(0, n_in, bsz):
+            if on_device and off + bsz <= n_in:
+                # Traced-offset slice: one compiled program for every offset
+                # (a Python-int slice would compile per distinct offset).
+                chunk = jax.lax.dynamic_slice_in_dim(
+                    packed, jnp.asarray(off, jnp.int32), bsz)
+                vchunk = jax.lax.dynamic_slice_in_dim(
+                    valid, jnp.asarray(off, jnp.int32), bsz)
+            else:
+                xp = jnp if on_device else np
+                chunk = packed[off: off + bsz]
+                vchunk = valid[off: off + bsz]
+                if chunk.shape[0] < bsz:  # pad for a stable jit shape
+                    pad = bsz - chunk.shape[0]
+                    chunk = xp.pad(chunk, ((0, pad), (0, 0)))
+                    vchunk = xp.pad(vchunk, (0, pad))
+            if self._pending_used >= self.config.pending_runs:
+                self.flush()
             if sync_stats:
-                self._ensure_table(bsz)
                 self._ensure_colors(bsz)
-            self.table, self.colors, self.bloom, stats = tbl.insert_batch(
-                self.table, self.colors, self.bloom,
+            self.table, self.colors, self.runs, stats = tbl.insert_batch_pending(
+                self.table, self.colors, self.runs,
                 jnp.asarray(chunk), jnp.asarray(vchunk),
                 jnp.asarray(gid, dtype=jnp.int32),
-                jnp.asarray(self._cur_singleton, dtype=jnp.int32),
-                cfg.bloom_log2_bits,
-                jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
-                jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32),
                 use_pallas=self._pallas_eligible())
+            self._pending_used += 1
             if sync_stats:
-                s = jax.device_get(stats)
-                self._n = int(s["n"])
-                self._d = int(s["d"])
+                self._d = int(jax.device_get(stats["d"]))
+
+    def flush(self):
+        """Merge pending runs into the main table (read barrier)."""
+        if not self._pending_used or self.runs is None:
+            return
+        cfg = self.config
+        # Upper bound: every pending slot could be live.
+        self._ensure_table(self._pending_used * self._run_size)
+        self.table, self.bloom, self.runs = tbl.flush_runs(
+            self.table, self.runs, self.bloom,
+            jnp.asarray(self._cur_singleton if self._cur_singleton is not None
+                        else 0, dtype=jnp.int32),
+            cfg.bloom_log2_bits,
+            jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
+            jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32))
+        self._pending_used = 0
+        self._n = int(jax.device_get(self.table.n))
 
     def sync_counts(self):
         """Refresh host count mirrors after deferred-sync insertion."""
+        self.flush()
         self._n = int(jax.device_get(self.table.n))
         self._d = int(jax.device_get(self.colors.d))
 
@@ -235,6 +275,7 @@ class ColoredDBG:
         Reference: annotation compression runs after the last genome / every
         ``treshold_compression`` genomes (src/file_io.c:192-193, Node.h:116).
         """
+        self.flush()
         self._cur_singleton = None
         self._genomes_since_compress += 1
         if (self.config.treshold_compression > 0 and
@@ -252,6 +293,9 @@ class ColoredDBG:
         self.insert_genome(name, packed, valid)
 
     def compress_colors(self):
+        # Must flush: a pending genome's singleton class may have no table
+        # reference yet and would be GC'd out from under the pending keys.
+        self.flush()
         self.table, self.colors = tbl.compress_colors(self.table, self.colors)
         self._d = int(jax.device_get(self.colors.d))
         self._genomes_since_compress = 0
@@ -261,6 +305,7 @@ class ColoredDBG:
     # ------------------------------------------------------------------
     def query_kmers_packed(self, packed, valid=None):
         """(found bool[M], color bitmaps uint32[M, cw]) for packed queries."""
+        self.flush()
         packed = jnp.asarray(packed, dtype=jnp.uint32)
         if valid is None:
             valid = jnp.ones(packed.shape[0], dtype=bool)
@@ -273,6 +318,7 @@ class ColoredDBG:
         return np.asarray(found), np.asarray(bitmap)
 
     def contains(self, kmer: str) -> bool:
+        self.flush()
         packed, valid = codec.encode_strings([kmer], self.k)
         found, _ = _presence_only(self.table.keys, self.table.n,
                                   self.table.bucket_starts,
@@ -336,6 +382,7 @@ class ColoredDBG:
     # graph topology (reference branchingNode.c / presenceNode.c)
     # ------------------------------------------------------------------
     def neighbor_presence_packed(self, packed, valid=None):
+        self.flush()
         packed = jnp.asarray(packed, dtype=jnp.uint32)
         if valid is None:
             valid = jnp.ones(packed.shape[0], dtype=bool)
@@ -367,6 +414,7 @@ class ColoredDBG:
 
     def branching_count_packed(self, packed, valid=None) -> int:
         """Count branching query k-mers (reference file_io.c:943-948)."""
+        self.flush()
         packed = jnp.asarray(packed, dtype=jnp.uint32)
         if valid is None:
             valid = jnp.ones(packed.shape[0], dtype=bool)
@@ -382,6 +430,7 @@ class ColoredDBG:
     # ------------------------------------------------------------------
     def extract_kmers_packed(self) -> np.ndarray:
         """All k-mers, sorted, packed [n, W].  (Set-equal to reference DFS.)"""
+        self.flush()
         return np.asarray(jax.device_get(self.table.keys))[: self._n]
 
     def extract_kmer_strings(self) -> list[str]:
@@ -389,6 +438,7 @@ class ColoredDBG:
 
     def iterate_over_kmers(self, fn, chunk: int = 65536):
         """Call ``fn(kmer_str, annotation, flag)`` for every k-mer."""
+        self.flush()
         for off in range(0, self._n, chunk):
             hi = min(off + chunk, self._n)
             keys = np.asarray(self.table.keys[off:hi])
@@ -404,6 +454,7 @@ class ColoredDBG:
 
         Sorted order makes this a contiguous range: [prefix+A..A, prefix+T..T].
         """
+        self.flush()
         p = len(prefix)
         if p > self.k:
             raise ValueError("prefix longer than k")
@@ -430,6 +481,7 @@ class ColoredDBG:
         self.table.flags = jnp.zeros_like(self.table.flags)
 
     def set_flags_packed(self, packed, flag: int, valid=None):
+        self.flush()
         if not (0 <= flag <= 3):
             raise ValueError("flags are 2-bit (4 states), like marking.c")
         packed = jnp.asarray(packed, dtype=jnp.uint32)
@@ -445,6 +497,7 @@ class ColoredDBG:
             jnp.uint8(flag), mode="drop")
 
     def get_flags_packed(self, packed, valid=None) -> np.ndarray:
+        self.flush()
         packed = jnp.asarray(packed, dtype=jnp.uint32)
         if valid is None:
             valid = jnp.ones(packed.shape[0], dtype=bool)
@@ -477,6 +530,7 @@ class ColoredDBG:
     # persistence (reference write_BFT_Root/read_BFT_Root write_to_disk.c:21,260)
     # ------------------------------------------------------------------
     def save(self, path: str):
+        self.flush()
         n, d = self._n, self._d
         np.savez_compressed(
             path if path.endswith(".npz") else path + ".npz",
@@ -530,6 +584,7 @@ class ColoredDBG:
     # observability (reference printMemory.c / getRSS.c)
     # ------------------------------------------------------------------
     def memory_stats(self) -> dict:
+        self.flush()
         t, c = self.table, self.colors
         return {
             "nb_kmers": self._n,

@@ -130,12 +130,75 @@ def append_singleton_class(colors: ColorDict, genome_id) -> tuple[ColorDict, jnp
 # The insert step (jitted per (cap, dcap, cw, M) shape signature)
 # ---------------------------------------------------------------------------
 
+def _probe_main(table: KmerTable, ukeys, uvalid, use_pallas: bool):
+    """Membership+row of sorted unique batch keys against the main table."""
+    if use_pallas:
+        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        found, rank = pk.rank_sorted(table.keys, table.n, ukeys, uvalid)
+        idx = jnp.minimum(rank, table.capacity - 1)
+    else:
+        found, idx = ss.lookup(table.keys, table.n, ukeys, table.bucket_starts)
+        found = found & uvalid
+    return found, idx
+
+
+def _color_update(table: KmerTable, colors: ColorDict, found, idx,
+                  genome_id) -> tuple[jnp.ndarray, ColorDict, jnp.ndarray]:
+    """Add genome g to the color class of every found k-mer.
+
+    The batched ``modify_annotations`` (src/retrieveAnnotation.c:232): rows
+    whose class already contains g are no-ops (src/retrieveAnnotation.c:278);
+    the distinct affected classes each spawn one new row ``old | {g}``.
+    Returns (color_ref, colors, n_new_cls).  The affected->new-class mapping
+    rides the class sort as a carried payload (no second searchsorted).
+    """
+    m = found.shape[0]
+    g_word = (genome_id >> 5).astype(jnp.int32)
+    g_bit = (genome_id & 31).astype(jnp.uint32)
+
+    cls = jnp.where(found, table.color_ref[idx], INT32_MAX)
+    safe_cls = jnp.where(found, cls, 0)
+    has_g = (colors.rows[safe_cls, g_word] >> g_bit) & 1
+    affected = found & (has_g == 0)
+
+    # Unique affected classes; each batch row carries its position so the
+    # new class id (d + run rank) can be scattered straight back.
+    aff = jnp.where(affected, cls, INT32_MAX)
+    pos0 = jnp.arange(m, dtype=jnp.int32)
+    aff_sorted, src = jax.lax.sort((aff, pos0), num_keys=1)
+    keep = jnp.concatenate([jnp.ones((1,), bool),
+                            aff_sorted[1:] != aff_sorted[:-1]])
+    keep = keep & (aff_sorted != INT32_MAX)
+    run = jnp.cumsum(keep.astype(jnp.int32)) - 1   # unique-class rank per row
+    n_new_cls = jnp.sum(keep.astype(jnp.int32))
+    live = aff_sorted != INT32_MAX
+
+    # One new row (old | {g}) per distinct affected class, at d..d+n_new-1.
+    u_cls = jnp.full((m,), INT32_MAX, dtype=jnp.int32).at[
+        jnp.where(keep, run, m)].set(aff_sorted, mode="drop")
+    src_rows = colors.rows[jnp.where(u_cls == INT32_MAX, 0, u_cls)]
+    gbit_col = (jnp.uint32(1) << g_bit) * (
+        jnp.arange(colors.width, dtype=jnp.int32)[None, :] == g_word
+    ).astype(jnp.uint32)
+    new_rows = src_rows | gbit_col
+    dest = jnp.where(u_cls != INT32_MAX,
+                     colors.d + jnp.arange(m, dtype=jnp.int32),
+                     colors.capacity)
+    rows = colors.rows.at[dest].set(new_rows, mode="drop")
+
+    # Remap each affected k-mer row to its class's new id via the carried
+    # source position: sorted slot -> (src row -> table row idx[src]).
+    table_row = jnp.where(live, idx[src], table.capacity)
+    color_ref = table.color_ref.at[table_row].set(colors.d + run, mode="drop")
+    return color_ref, ColorDict(rows=rows, d=colors.d + n_new_cls), n_new_cls
+
+
 def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarray,
                       batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
                       genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
                       log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
                       use_pallas: bool = False):
-    """Insert one batch of k-mers for genome ``genome_id``.
+    """Insert one batch of k-mers for genome ``genome_id`` (immediate merge).
 
     The functional analogue of the reference's hot loop ``insertKmers`` ->
     ``insertKmer_Node`` (src/insertNode.c:18,38): hit => color update
@@ -147,11 +210,10 @@ def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarr
       * ``singleton_cls`` is the class id of {genome_id}.
 
     Returns (table, colors, bloom_bits, stats) with stats = dict of scalars.
+    The run-buffered fast path (``insert_batch_pending`` + ``flush_runs``)
+    amortizes this function's O(capacity) merge over a whole genome.
     """
     m = batch_keys.shape[0]
-    g = genome_id
-    g_word = (g >> 5).astype(jnp.int32)
-    g_bit = (g & 31).astype(jnp.uint32)
 
     # 1. Sort + dedup the batch.
     u_count, ukeys, _src = ss.sort_unique(batch_keys, batch_valid)
@@ -160,48 +222,11 @@ def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarr
     # 2. Split found / new.  (uvalid guard: a sentinel-padded row must never
     #    match a genuine all-T key in the table.)  ukeys are sorted, so the
     #    streaming Pallas rank kernel applies (7.5x the XLA binary search).
-    if use_pallas:
-        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
-        found, rank = pk.rank_sorted(table.keys, table.n, ukeys, uvalid)
-        idx = jnp.minimum(rank, table.capacity - 1)
-    else:
-        found, idx = ss.lookup(table.keys, table.n, ukeys, table.bucket_starts)
-        found = found & uvalid
+    found, idx = _probe_main(table, ukeys, uvalid, use_pallas)
 
     # 3. Color update for found k-mers whose class lacks genome g.
-    cls = jnp.where(found, table.color_ref[idx], INT32_MAX)
-    safe_cls = jnp.where(found, cls, 0)
-    has_g = (colors.rows[safe_cls, g_word] >> g_bit) & 1
-    affected = found & (has_g == 0)
-
-    # 3a. Unique affected classes -> one new row per distinct class.
-    aff = jnp.where(affected, cls, INT32_MAX)
-    aff_sorted = jnp.sort(aff)
-    keep = jnp.concatenate([jnp.ones((1,), bool),
-                            aff_sorted[1:] != aff_sorted[:-1]])
-    keep = keep & (aff_sorted != INT32_MAX)
-    rank = jnp.cumsum(keep) - 1
-    n_new_cls = jnp.sum(keep.astype(jnp.int32))
-    u_cls = jnp.full((m,), INT32_MAX, dtype=jnp.int32).at[
-        jnp.where(keep, rank, m)].set(aff_sorted, mode="drop")
-
-    # 3b. Append rows (old_class | {g}) at ids d..d+n_new_cls-1.
-    src_rows = colors.rows[jnp.where(u_cls == INT32_MAX, 0, u_cls)]
-    gbit_col = (jnp.uint32(1) << g_bit) * (
-        jnp.arange(colors.width, dtype=jnp.int32)[None, :] == g_word
-    ).astype(jnp.uint32)
-    new_rows = src_rows | gbit_col
-    dest = jnp.where(u_cls != INT32_MAX,
-                     colors.d + jnp.arange(m, dtype=jnp.int32),
-                     colors.capacity)
-    rows = colors.rows.at[dest].set(new_rows, mode="drop")
-
-    # 3c. Remap affected k-mers to their new class.
-    pos = jnp.searchsorted(u_cls, cls).astype(jnp.int32)
-    new_cls = colors.d + jnp.minimum(pos, m - 1)
-    color_ref = table.color_ref.at[
-        jnp.where(affected, idx, table.capacity)].set(new_cls, mode="drop")
-    colors = ColorDict(rows=rows, d=colors.d + n_new_cls)
+    color_ref, colors, n_new_cls = _color_update(
+        table, colors, found, idx, genome_id)
 
     # 4. Merge new k-mers (not found) into the table.  The lookup's insertion
     #    points double as the merge ranks (compacted through the same mask),
@@ -241,6 +266,161 @@ insert_batch = functools.partial(
     jax.jit, static_argnames=("log2_bloom", "use_pallas"),
     donate_argnums=(0, 1, 2)
 )(insert_batch_impl)
+
+
+# ---------------------------------------------------------------------------
+# Run-buffered insertion (LSM-lite): per-batch cost is independent of the
+# table capacity; the O(capacity) global merge runs once per genome (or when
+# the run buffer fills) in :func:`flush_runs`.  The moral ancestor is the
+# reference's own deferred structure: UCs absorb inserts cheaply and burst
+# into CCs later (src/insertNode.c:196-223); here a "UC" is a whole sorted
+# batch and the "burst" is one global sort.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PendingRuns:
+    """Fixed-shape buffer of sorted, deduplicated k-mer runs.
+
+    Invariant: every run belongs to the CURRENT genome (the host flushes at
+    ``end_genome``), so (a) runs never contain a key present in the main
+    table (each batch probes main, and a mid-genome flush updates main before
+    the next probe), and (b) every pending key's color class is the genome's
+    singleton class.  Keys MAY repeat across runs — identical rows — and are
+    deduplicated by the flush sort (keep-first), so the per-batch path never
+    probes the run buffer.
+    """
+
+    keys: jnp.ndarray    # uint32[R, M, W]; run r sorted, sentinel-padded
+    counts: jnp.ndarray  # int32[R] live rows per run
+    used: jnp.ndarray    # int32 scalar: runs in use
+
+    @property
+    def n_runs(self) -> int:
+        return self.keys.shape[0]
+
+    @property
+    def run_size(self) -> int:
+        return self.keys.shape[1]
+
+
+def empty_runs(n_runs: int, run_size: int, words: int) -> PendingRuns:
+    return PendingRuns(
+        keys=jnp.full((n_runs, run_size, words), ss.SENTINEL, dtype=jnp.uint32),
+        counts=jnp.zeros((n_runs,), dtype=jnp.int32),
+        used=jnp.zeros((), dtype=jnp.int32),
+    )
+
+
+def insert_batch_pending_impl(table: KmerTable, colors: ColorDict,
+                              runs: PendingRuns,
+                              batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
+                              genome_id: jnp.ndarray,
+                              use_pallas: bool = False):
+    """Insert one batch: color updates apply now, new keys buffer as a run.
+
+    Caller contract: colors has >= M free rows; ``runs.used < R`` (host
+    flushes when full); all pending runs belong to genome ``genome_id``.
+    Returns (table, colors, runs, stats).
+    """
+    m = batch_keys.shape[0]
+
+    u_count, ukeys, _src = ss.sort_unique(batch_keys, batch_valid)
+    uvalid = jnp.arange(m, dtype=jnp.int32) < u_count
+
+    found, idx = _probe_main(table, ukeys, uvalid, use_pallas)
+    color_ref, colors, n_new_cls = _color_update(
+        table, colors, found, idx, genome_id)
+    table = dataclasses.replace(table, color_ref=color_ref)
+
+    # Not-found keys buffer as-is; cross-run duplicates (identical rows:
+    # same genome => same singleton class) are deduplicated by the flush
+    # sort, so no run probing is needed here.
+    is_new = uvalid & ~found
+    m_new, nkeys, _ = ss.compact(is_new, ukeys, jnp.zeros((m,), jnp.int32))
+
+    run_keys = jax.lax.dynamic_update_slice(
+        runs.keys, nkeys[None], (runs.used, 0, 0))
+    run_counts = runs.counts.at[runs.used].set(m_new)
+    runs = PendingRuns(keys=run_keys, counts=run_counts, used=runs.used + 1)
+
+    stats = {"unique": u_count, "new": m_new, "colored": n_new_cls,
+             "d": colors.d, "pending": jnp.sum(run_counts)}
+    return table, colors, runs, stats
+
+
+insert_batch_pending = functools.partial(
+    jax.jit, static_argnames=("use_pallas",), donate_argnums=(0, 1, 2)
+)(insert_batch_pending_impl)
+
+
+def flush_runs_impl(table: KmerTable, runs: PendingRuns, bloom_bits,
+                    singleton_cls, log2_bloom: int, seed1, seed2,
+                    rebuild_starts: bool = True):
+    """Merge all pending runs into the main table (one global sort).
+
+    Caller contract: table capacity >= n + total pending.  Every pending key
+    gets ``singleton_cls`` (see PendingRuns invariant) and zero flags, and is
+    added to the Bloom plane here (deferred from the per-batch path).
+    Cross-run duplicate keys (identical rows) are deduplicated here:
+    duplicates sort adjacent, a keep-first mask drops them, and a scatter
+    compacts survivors back to a dense prefix.  Returns
+    (table, bloom_bits, empty runs).
+    """
+    cap, w = table.keys.shape
+    r_n, m = runs.keys.shape[0], runs.keys.shape[1]
+    total = r_n * m
+    full = cap + total
+
+    rkeys = runs.keys.reshape(total, w)
+    slot = jax.lax.broadcasted_iota(jnp.int32, (r_n, m), 1)
+    rvalid = (slot < runs.counts[:, None]).reshape(total)
+
+    dead = jnp.concatenate([
+        (jnp.arange(cap, dtype=jnp.int32) >= table.n).astype(jnp.uint32),
+        (~rvalid).astype(jnp.uint32)])
+    operands = (dead,) + tuple(
+        jnp.concatenate([table.keys[:, i], rkeys[:, i]]) for i in range(w))
+    payload_ops = (
+        jnp.concatenate([table.color_ref,
+                         jnp.full((total,), singleton_cls, dtype=jnp.int32)]),
+        jnp.concatenate([table.flags, jnp.zeros((total,), dtype=jnp.uint8)]),
+    )
+    out = jax.lax.sort(operands + payload_ops, num_keys=w + 1)
+
+    # Live rows form a prefix (dead sorts last); equal keys are adjacent.
+    live = out[0] == 0
+    same_prev = jnp.ones((full - 1,), dtype=bool)
+    for i in range(w):
+        same_prev = same_prev & (out[1 + i][1:] == out[1 + i][:-1])
+    dup = jnp.concatenate([jnp.zeros((1,), bool), same_prev]) & live
+    keep = live & ~dup
+    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
+    dest = jnp.where(keep, pos, cap)
+    new_n = pos[-1] + 1
+
+    sent = jnp.full((cap,), ss.SENTINEL, dtype=jnp.uint32)
+    out_keys = jnp.stack(
+        [sent.at[dest].set(out[1 + i], mode="drop") for i in range(w)],
+        axis=-1)
+    out_color = jnp.zeros((cap,), jnp.int32).at[dest].set(
+        out[1 + w], mode="drop")
+    out_flags = jnp.zeros((cap,), jnp.uint8).at[dest].set(
+        out[2 + w], mode="drop")
+
+    bloom_bits = bloom_ops.add(bloom_bits, rkeys, rvalid,
+                               log2_bloom, seed1, seed2)
+    starts = (ss.build_bucket_starts(out_keys, new_n) if rebuild_starts
+              else table.bucket_starts)
+    table = KmerTable(keys=out_keys, color_ref=out_color,
+                      flags=out_flags, n=new_n, bucket_starts=starts)
+    return table, bloom_bits, empty_runs(r_n, m, w)
+
+
+flush_runs = functools.partial(
+    jax.jit, static_argnames=("log2_bloom", "rebuild_starts"),
+    donate_argnums=(0, 1, 2)
+)(flush_runs_impl)
 
 
 @jax.jit
