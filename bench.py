@@ -14,10 +14,15 @@ Method notes:
     real TPU host, ingest rides PCIe and is pipelined separately.
   * Genomic k-mer content is uniform-ish random; all table ops are
     content-oblivious, so random batches measure the true kernel cost.
-  * Table pre-sized (no growth recompiles); insert runs with deferred host
-    sync; timing is closed by fetching a device scalar (block_until_ready is
-    not a reliable fence through the remote tunnel).
+  * Table pre-sized (no growth recompiles).  Timing is closed by the
+    host sync built into flush/compress (block_until_ready is not a
+    reliable fence through the remote tunnel).
   * Two genomes so both paths run: new-key merge and color-class update.
+    The timed region includes the FULL amortized cost: per-batch buffering,
+    the per-genome flush (sort, probe, color update, merge, Bloom, prefix
+    index) and the per-genome color compression — nothing deferred.
+  * Persistent compilation cache: first-ever run pays ~3-4 min of XLA
+    compiles; the cache (committed under .jax_cache) makes reruns ~40 s.
 """
 
 from __future__ import annotations
@@ -26,27 +31,29 @@ import json
 import sys
 import time
 
-import numpy as np
-
 
 def main():
     import jax
     import jax.numpy as jnp
+
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
 
     from bloomfiltertrie_tpu.config import BFTConfig
     from bloomfiltertrie_tpu.models.cdbg import ColoredDBG
 
     k = 31
     batch = 1 << 20
-    n_batches = 4
+    n_batches = 8                    # 8M k-mers per genome
     total = batch * n_batches
 
     cfg = BFTConfig(
         k=k,
         initial_capacity=1 << 24,        # pre-size: no growth in timed region
-        initial_color_capacity=1 << 22,
+        initial_color_capacity=1 << 20,
         bloom_log2_bits=26,
         batch_size=batch,
+        pending_runs=n_batches,          # one flush per genome
     )
 
     gen = jax.jit(
@@ -55,27 +62,23 @@ def main():
     )
     data = gen(jax.random.PRNGKey(0))
     data2 = gen(jax.random.PRNGKey(1))
-    jax.block_until_ready((data, data2))
-
+    # genome 1 = half re-color (keys of genome 0) / half new
     mix = jnp.concatenate([data[: total // 2], data2[: total // 2]])
-    jax.block_until_ready(mix)
+    jax.block_until_ready((data, data2, mix))
 
     def run_build(dbg):
-        """The benchmarked sequence: two genomes, each insert+flush+compress
-        (the FULL amortized cost of the LSM-lite path — nothing deferred)."""
+        """Two genomes; each insert+flush+compress fully synced."""
         dbg.start_genome("g0")
         t0 = time.perf_counter()
-        dbg.insert_kmers_packed(data[batch:], sync_stats=False)
-        dbg.end_genome()  # flushes pending runs + color compression
+        dbg.insert_kmers_packed(data)
+        dbg.end_genome()  # flush (probe+color+merge+bloom) + compression
         dt0 = time.perf_counter() - t0
-        dbg.sync_counts()
 
-        dbg.start_genome("g1")  # half re-color / half new
+        dbg.start_genome("g1")
         t0 = time.perf_counter()
-        dbg.insert_kmers_packed(mix, sync_stats=False)
+        dbg.insert_kmers_packed(mix)
         dbg.end_genome()
         dt1 = time.perf_counter() - t0
-        dbg.sync_counts()
         return dt0 + dt1
 
     # ---- warmup: identical sequence on a scratch instance compiles every
@@ -83,18 +86,19 @@ def main():
     t0 = time.perf_counter()
     warm = run_build(ColoredDBG(cfg))
     print(f"# warmup pass (incl compile): {time.perf_counter() - t0:.1f}s",
-          file=sys.stderr)
+          file=sys.stderr, flush=True)
 
     # ---- timed: fresh instance, steady-state ----
     dbg = ColoredDBG(cfg)
     dt = run_build(dbg)
 
-    n_inserted = (total - batch) + total
+    n_inserted = 2 * total
     insert_rate = n_inserted / dt
 
     # ---- query throughput (secondary) ----
-    queries = jnp.concatenate([data[:batch // 2], data2[total // 2:
-                                                        total // 2 + batch // 2]])
+    queries = jnp.concatenate(
+        [data[: batch // 2], data2[total // 2: total // 2 + batch // 2]])
+    jax.block_until_ready(queries)
     dbg.query_kmers_packed(queries)  # compile
     t0 = time.perf_counter()
     found, _ = dbg.query_kmers_packed(queries)  # returns np => synced
@@ -103,7 +107,7 @@ def main():
 
     print(f"# n={dbg.nb_kmers} classes={dbg.nb_color_classes} "
           f"insert={insert_rate:.3e}/s query={query_rate:.3e}/s "
-          f"found={int(found.sum())}", file=sys.stderr)
+          f"found={int(found.sum())}", file=sys.stderr, flush=True)
 
     baseline_per_chip = 50e6 / 16
     print(json.dumps({

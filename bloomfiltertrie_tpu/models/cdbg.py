@@ -32,6 +32,11 @@ import json
 import math
 import os
 
+
+def _debug_invariants() -> bool:
+    """Env-gated debug invariant mode (SURVEY §5 sanitizers row)."""
+    return os.environ.get("BFT_DEBUG_INVARIANTS", "") not in ("", "0")
+
 import jax
 import jax.numpy as jnp
 import numpy as np
@@ -189,19 +194,19 @@ class ColoredDBG:
     def insert_kmers_packed(self, packed, valid=None, sync_stats: bool = True):
         """Insert packed k-mers [M, W] into the current genome, batched.
 
-        Run-buffered fast path: each batch does color updates immediately but
-        parks new keys in a sorted pending run (tbl.insert_batch_pending);
-        the O(capacity) merge happens once per genome / full run buffer
-        (:meth:`flush`).  Every read API flushes first, so observable
-        semantics are identical to immediate insertion.
+        Run-buffered fast path: each batch is a raw append into the pending
+        run buffer (two dynamic_update_slices — microseconds); ALL insert
+        work (dedup, probe, color update, merge) happens once per genome /
+        full buffer in :meth:`flush`.  Every read API flushes first, so
+        observable semantics are identical to immediate insertion.
 
         ``packed`` may be a NumPy array or a device-resident jax array (the
         latter avoids host->device transfer — important when PCIe/tunnel
-        bandwidth is the bottleneck).  With ``sync_stats=False`` no per-batch
-        host sync happens and **color-capacity checks are skipped** — the
-        caller must have pre-sized the color dictionary; call
-        :meth:`sync_counts` after.
+        bandwidth is the bottleneck).  ``sync_stats`` is accepted for
+        backward compatibility and ignored: the buffered path has no
+        per-batch host sync or capacity hazard by construction.
         """
+        del sync_stats
         if self._cur_singleton is None:
             raise RuntimeError("call start_genome() before inserting k-mers")
         on_device = isinstance(packed, jax.Array)
@@ -215,7 +220,6 @@ class ColoredDBG:
             self.runs = tbl.empty_runs(self.config.pending_runs,
                                        self._run_size, self.config.words)
         bsz = self._run_size
-        gid = len(self.genome_names) - 1
         n_in = packed.shape[0]
         for off in range(0, n_in, bsz):
             if on_device and off + bsz <= n_in:
@@ -235,39 +239,73 @@ class ColoredDBG:
                     vchunk = xp.pad(vchunk, (0, pad))
             if self._pending_used >= self.config.pending_runs:
                 self.flush()
-            if sync_stats:
-                self._ensure_colors(bsz)
-            self.table, self.colors, self.runs, stats = tbl.insert_batch_pending(
-                self.table, self.colors, self.runs,
-                jnp.asarray(chunk), jnp.asarray(vchunk),
-                jnp.asarray(gid, dtype=jnp.int32),
-                use_pallas=self._pallas_eligible())
+            self.runs = tbl.buffer_batch(
+                self.runs, jnp.asarray(chunk), jnp.asarray(vchunk))
             self._pending_used += 1
-            if sync_stats:
-                self._d = int(jax.device_get(stats["d"]))
 
     def flush(self):
-        """Merge pending runs into the main table (read barrier)."""
+        """Flush pending runs into the main table (read barrier).
+
+        One sorted-batch insert for the whole buffer: probe, color update,
+        merge, Bloom, prefix-index rebuild.  Syncs the host count mirrors
+        (the only host<->device round trip of the insert path).
+        """
         if not self._pending_used or self.runs is None:
             return
         cfg = self.config
-        # Upper bound: every pending slot could be live.
+        # Upper bound: every pending slot could be a distinct new key.
         self._ensure_table(self._pending_used * self._run_size)
-        self.table, self.bloom, self.runs = tbl.flush_runs(
-            self.table, self.runs, self.bloom,
+        # Every existing class can spawn at most one `old | {g}` row.
+        self._ensure_colors(self._d + 1)
+        d_before, dcap = self._d, self.colors.capacity
+        gid = len(self.genome_names) - 1
+        self.table, self.colors, self.bloom, self.runs, stats = tbl.flush_genome(
+            self.table, self.colors, self.runs, self.bloom,
+            jnp.asarray(gid, dtype=jnp.int32),
             jnp.asarray(self._cur_singleton if self._cur_singleton is not None
                         else 0, dtype=jnp.int32),
             cfg.bloom_log2_bits,
             jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
-            jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32))
+            jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32),
+            use_pallas=self._pallas_eligible())
         self._pending_used = 0
-        self._n = int(jax.device_get(self.table.n))
+        st = jax.device_get(stats)
+        self._n = int(st["n"])
+        self._d = int(st["d"])
+        if int(st["colored"]) > dcap - d_before:
+            raise RuntimeError(
+                f"color capacity contract violated: {int(st['colored'])} new "
+                f"classes > {dcap - d_before} free rows (corruption)")
+        if _debug_invariants():
+            self._check_invariants()
 
     def sync_counts(self):
         """Refresh host count mirrors after deferred-sync insertion."""
         self.flush()
         self._n = int(jax.device_get(self.table.n))
         self._d = int(jax.device_get(self.colors.d))
+
+    def _check_invariants(self):
+        """Debug mode (BFT_DEBUG_INVARIANTS=1): verify structural contracts.
+
+        SURVEY §5 "race detection/sanitizers" row: sortedness of the key
+        table, sentinel padding, and color_ref range — the invariants the
+        reference enforces via its ERROR aborts (include/useful_macros.h:33).
+        """
+        keys = np.asarray(jax.device_get(self.table.keys))
+        n = self._n
+        live = keys[:n]
+        as_tuple = [tuple(row) for row in live]
+        if as_tuple != sorted(as_tuple):
+            raise AssertionError("invariant violated: table keys not sorted")
+        if len(set(as_tuple)) != n:
+            raise AssertionError("invariant violated: duplicate keys")
+        if not (keys[n:] == 0xFFFFFFFF).all():
+            raise AssertionError("invariant violated: non-sentinel padding")
+        cref = np.asarray(jax.device_get(self.table.color_ref))[:n]
+        if n and not ((cref >= 0) & (cref < self._d)).all():
+            raise AssertionError(
+                "invariant violated: color_ref out of range [0, d)")
 
     def end_genome(self):
         """Close the current genome; run color compression on cadence.

@@ -130,15 +130,23 @@ def append_singleton_class(colors: ColorDict, genome_id) -> tuple[ColorDict, jnp
 # The insert step (jitted per (cap, dcap, cw, M) shape signature)
 # ---------------------------------------------------------------------------
 
-def _probe_main(table: KmerTable, ukeys, uvalid, use_pallas: bool):
-    """Membership+row of sorted unique batch keys against the main table."""
+def _probe_main(table: KmerTable, skeys, svalid, use_pallas: bool):
+    """Membership+row of a KEY-SORTED batch against the main table.
+
+    The TPU path streams the whole table once through the Pallas rank kernel
+    (ops/pallas_kernels.py) — measured ~95 ms for 8M queries over a 16M-row
+    table vs ~900 ms for the bucketed binary search (random gathers are
+    latency-bound on TPU).  The XLA path (CPU tests) uses the prefix-bucketed
+    search, whose bucket index is valid because probes always run against the
+    last merged table state.
+    """
     if use_pallas:
         from bloomfiltertrie_tpu.ops import pallas_kernels as pk
-        found, rank = pk.rank_sorted(table.keys, table.n, ukeys, uvalid)
+        found, rank = pk.rank_sorted(table.keys, table.n, skeys, svalid)
         idx = jnp.minimum(rank, table.capacity - 1)
     else:
-        found, idx = ss.lookup(table.keys, table.n, ukeys, table.bucket_starts)
-        found = found & uvalid
+        found, idx = ss.lookup(table.keys, table.n, skeys, table.bucket_starts)
+        found = found & svalid
     return found, idx
 
 
@@ -184,7 +192,11 @@ def _color_update(table: KmerTable, colors: ColorDict, found, idx,
     dest = jnp.where(u_cls != INT32_MAX,
                      colors.d + jnp.arange(m, dtype=jnp.int32),
                      colors.capacity)
-    rows = colors.rows.at[dest].set(new_rows, mode="drop")
+    # Per-column scatters: a 2-D row scatter is ~9x slower on TPU than one
+    # 1-D scatter per column (measured 670 ms vs 73 ms at 8M rows).
+    rows = colors.rows
+    for c in range(colors.width):
+        rows = rows.at[dest, c].set(new_rows[:, c], mode="drop")
 
     # Remap each affected k-mer row to its class's new id via the carried
     # source position: sorted slot -> (src row -> table row idx[src]).
@@ -193,73 +205,88 @@ def _color_update(table: KmerTable, colors: ColorDict, found, idx,
     return color_ref, ColorDict(rows=rows, d=colors.d + n_new_cls), n_new_cls
 
 
-def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarray,
-                      batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
-                      genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
-                      log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
-                      use_pallas: bool = False):
-    """Insert one batch of k-mers for genome ``genome_id`` (immediate merge).
+def insert_sorted_impl(table: KmerTable, colors: ColorDict,
+                       bloom_bits: jnp.ndarray,
+                       skeys: jnp.ndarray, svalid: jnp.ndarray,
+                       skeep: jnp.ndarray,
+                       genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
+                       log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
+                       use_pallas: bool = False):
+    """Insert a KEY-SORTED batch for genome ``genome_id``.
 
     The functional analogue of the reference's hot loop ``insertKmers`` ->
     ``insertKmer_Node`` (src/insertNode.c:18,38): hit => color update
     (``modify_annotations`` src/retrieveAnnotation.c:232), miss => table merge.
     Same-genome re-insertion is a no-op (src/retrieveAnnotation.c:278).
 
+    Args are the output of :func:`sortedset.sort_queries`: ``skeys`` sorted
+    with invalid rows masked to sentinel (sorting last), ``svalid`` the live
+    mask, ``skeep`` first-occurrence-of-valid-key mask.  Duplicates stay in
+    place (no compaction scatter anywhere): the probe tolerates them, the
+    color update and the masked merge select through ``skeep``.
+
     Caller contract (host wrapper enforces):
-      * table has >= M free rows, colors has >= M free rows;
+      * table has >= sum(skeep) free rows;
+      * colors has >= min(M, d) free rows (every distinct affected class
+        spawns at most one new row per flush);
       * ``singleton_cls`` is the class id of {genome_id}.
 
     Returns (table, colors, bloom_bits, stats) with stats = dict of scalars.
-    The run-buffered fast path (``insert_batch_pending`` + ``flush_runs``)
-    amortizes this function's O(capacity) merge over a whole genome.
     """
-    m = batch_keys.shape[0]
+    m = skeys.shape[0]
 
-    # 1. Sort + dedup the batch.
-    u_count, ukeys, _src = ss.sort_unique(batch_keys, batch_valid)
-    uvalid = jnp.arange(m, dtype=jnp.int32) < u_count
+    # 1. Split found / new: one streaming pass over the table (Pallas) or a
+    #    bucketed binary search (XLA fallback).
+    found, idx = _probe_main(table, skeys, svalid, use_pallas)
+    found = found & svalid
 
-    # 2. Split found / new.  (uvalid guard: a sentinel-padded row must never
-    #    match a genuine all-T key in the table.)  ukeys are sorted, so the
-    #    streaming Pallas rank kernel applies (7.5x the XLA binary search).
-    found, idx = _probe_main(table, ukeys, uvalid, use_pallas)
-
-    # 3. Color update for found k-mers whose class lacks genome g.
+    # 2. Color update for found k-mers whose class lacks genome g.
     color_ref, colors, n_new_cls = _color_update(
-        table, colors, found, idx, genome_id)
+        table, colors, found & skeep, idx, genome_id)
 
-    # 4. Merge new k-mers (not found) into the table.  The lookup's insertion
-    #    points double as the merge ranks (compacted through the same mask),
-    #    so the merge needs no second binary search.
-    is_new = uvalid & ~found
-    m_new, nkeys, nranks = ss.compact(is_new, ukeys, idx)
-    merged_keys, merged_n, (merged_cref, merged_flags) = ss.merge_into(
-        table.keys, table.n, nkeys, m_new,
+    # 3. Merge new k-mers (valid, first-occurrence, not found) into the
+    #    table via one masked multi-operand sort — no compaction scatter.
+    is_new = svalid & skeep & ~found
+    merged_keys, merged_n, (merged_cref, merged_flags) = ss.merge_into_masked(
+        table.keys, table.n, skeys, is_new,
         table_payloads=(color_ref, table.flags),
         new_payloads=(jnp.full((m,), singleton_cls, dtype=jnp.int32),
                       jnp.zeros((m,), dtype=jnp.uint8)),
-        payload_fills=(-1, 0),
-        rank_old=nranks,
     )
-    if use_pallas:
-        # The Pallas rank kernel replaces every bucket-index consumer on this
-        # backend; carrying the stale index saves its rebuild search.  (It is
-        # refreshed by build_bucket_starts on save/load and unused otherwise.)
-        merged_starts = table.bucket_starts
-    else:
-        merged_starts = ss.build_bucket_starts(merged_keys, merged_n)
 
-    # 5. Bloom plane update for the new keys.
-    new_valid = jnp.arange(m, dtype=jnp.int32) < m_new
-    bloom_bits = bloom_ops.add(bloom_bits, nkeys, new_valid,
+    # 4. Bloom plane update for the new keys (reference BF_filter2 analogue,
+    #    include/CC.h:38-45; here one flat plane per shard).
+    bloom_bits = bloom_ops.add(bloom_bits, skeys, is_new,
                                log2_bloom, seed1, seed2)
+
+    # 5. Prefix-bucket index rebuild (SkipFilter2/3 analogue) — one 64K-query
+    #    search, ~47 ms at 16M rows, amortized over a whole genome.
+    merged_starts = ss.build_bucket_starts(merged_keys, merged_n)
 
     table = KmerTable(keys=merged_keys, color_ref=merged_cref,
                       flags=merged_flags, n=merged_n,
                       bucket_starts=merged_starts)
-    stats = {"unique": u_count, "new": m_new, "colored": n_new_cls,
-             "n": merged_n, "d": colors.d}
+    stats = {"unique": jnp.sum(skeep.astype(jnp.int32)),
+             "new": jnp.sum(is_new.astype(jnp.int32)),
+             "colored": n_new_cls, "n": merged_n, "d": colors.d}
     return table, colors, bloom_bits, stats
+
+
+def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarray,
+                      batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
+                      genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
+                      log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
+                      use_pallas: bool = False):
+    """Immediate insert of an unsorted batch: sort + :func:`insert_sorted_impl`.
+
+    Used by the sharded per-chunk path and as the compile-check entry; the
+    single-chip host path buffers batches and flushes per genome instead
+    (:func:`buffer_batch` + :func:`flush_genome`).
+    """
+    skeys, svalid, skeep = ss.sort_queries(batch_keys, batch_valid)
+    return insert_sorted_impl(table, colors, bloom_bits, skeys, svalid, skeep,
+                              genome_id, singleton_cls, log2_bloom,
+                              seed1, seed2, use_pallas=use_pallas)
 
 
 insert_batch = functools.partial(
@@ -269,30 +296,29 @@ insert_batch = functools.partial(
 
 
 # ---------------------------------------------------------------------------
-# Run-buffered insertion (LSM-lite): per-batch cost is independent of the
-# table capacity; the O(capacity) global merge runs once per genome (or when
-# the run buffer fills) in :func:`flush_runs`.  The moral ancestor is the
+# Run-buffered insertion (LSM-lite): the per-batch step is a plain buffer
+# append (two dynamic_update_slices — microseconds), and ALL work — dedup,
+# probe, color update, merge, Bloom — happens once per genome (or when the
+# buffer fills) in :func:`flush_genome`.  The moral ancestor is the
 # reference's own deferred structure: UCs absorb inserts cheaply and burst
-# into CCs later (src/insertNode.c:196-223); here a "UC" is a whole sorted
-# batch and the "burst" is one global sort.
+# into CCs later (src/insertNode.c:196-223); here a "UC" is the whole run
+# buffer and the "burst" is one sorted-batch insert.
 # ---------------------------------------------------------------------------
 
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
 class PendingRuns:
-    """Fixed-shape buffer of sorted, deduplicated k-mer runs.
+    """Fixed-shape buffer of raw (unsorted, undeduplicated) k-mer batches.
 
     Invariant: every run belongs to the CURRENT genome (the host flushes at
-    ``end_genome``), so (a) runs never contain a key present in the main
-    table (each batch probes main, and a mid-genome flush updates main before
-    the next probe), and (b) every pending key's color class is the genome's
-    singleton class.  Keys MAY repeat across runs — identical rows — and are
-    deduplicated by the flush sort (keep-first), so the per-batch path never
-    probes the run buffer.
+    ``end_genome``), so every pending key's color class after the flush is
+    either the genome's singleton class (new key) or ``old | {g}`` (key
+    already in the main table).  Keys MAY repeat within and across runs —
+    the flush sort deduplicates (keep-first).
     """
 
-    keys: jnp.ndarray    # uint32[R, M, W]; run r sorted, sentinel-padded
-    counts: jnp.ndarray  # int32[R] live rows per run
+    keys: jnp.ndarray    # uint32[R, M, W] raw batch rows
+    valid: jnp.ndarray   # bool[R, M]
     used: jnp.ndarray    # int32 scalar: runs in use
 
     @property
@@ -307,120 +333,50 @@ class PendingRuns:
 def empty_runs(n_runs: int, run_size: int, words: int) -> PendingRuns:
     return PendingRuns(
         keys=jnp.full((n_runs, run_size, words), ss.SENTINEL, dtype=jnp.uint32),
-        counts=jnp.zeros((n_runs,), dtype=jnp.int32),
+        valid=jnp.zeros((n_runs, run_size), dtype=bool),
         used=jnp.zeros((), dtype=jnp.int32),
     )
 
 
-def insert_batch_pending_impl(table: KmerTable, colors: ColorDict,
-                              runs: PendingRuns,
-                              batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
-                              genome_id: jnp.ndarray,
-                              use_pallas: bool = False):
-    """Insert one batch: color updates apply now, new keys buffer as a run.
-
-    Caller contract: colors has >= M free rows; ``runs.used < R`` (host
-    flushes when full); all pending runs belong to genome ``genome_id``.
-    Returns (table, colors, runs, stats).
-    """
-    m = batch_keys.shape[0]
-
-    u_count, ukeys, _src = ss.sort_unique(batch_keys, batch_valid)
-    uvalid = jnp.arange(m, dtype=jnp.int32) < u_count
-
-    found, idx = _probe_main(table, ukeys, uvalid, use_pallas)
-    color_ref, colors, n_new_cls = _color_update(
-        table, colors, found, idx, genome_id)
-    table = dataclasses.replace(table, color_ref=color_ref)
-
-    # Not-found keys buffer as-is; cross-run duplicates (identical rows:
-    # same genome => same singleton class) are deduplicated by the flush
-    # sort, so no run probing is needed here.
-    is_new = uvalid & ~found
-    m_new, nkeys, _ = ss.compact(is_new, ukeys, jnp.zeros((m,), jnp.int32))
-
+def buffer_batch_impl(runs: PendingRuns, batch_keys: jnp.ndarray,
+                      batch_valid: jnp.ndarray) -> PendingRuns:
+    """Append one raw batch to the run buffer (caller checks used < R)."""
     run_keys = jax.lax.dynamic_update_slice(
-        runs.keys, nkeys[None], (runs.used, 0, 0))
-    run_counts = runs.counts.at[runs.used].set(m_new)
-    runs = PendingRuns(keys=run_keys, counts=run_counts, used=runs.used + 1)
-
-    stats = {"unique": u_count, "new": m_new, "colored": n_new_cls,
-             "d": colors.d, "pending": jnp.sum(run_counts)}
-    return table, colors, runs, stats
+        runs.keys, batch_keys[None], (runs.used, 0, 0))
+    run_valid = jax.lax.dynamic_update_slice(
+        runs.valid, batch_valid[None], (runs.used, 0))
+    return PendingRuns(keys=run_keys, valid=run_valid, used=runs.used + 1)
 
 
-insert_batch_pending = functools.partial(
-    jax.jit, static_argnames=("use_pallas",), donate_argnums=(0, 1, 2)
-)(insert_batch_pending_impl)
+buffer_batch = functools.partial(jax.jit, donate_argnums=(0,))(buffer_batch_impl)
 
 
-def flush_runs_impl(table: KmerTable, runs: PendingRuns, bloom_bits,
-                    singleton_cls, log2_bloom: int, seed1, seed2,
-                    rebuild_starts: bool = True):
-    """Merge all pending runs into the main table (one global sort).
+def flush_genome_impl(table: KmerTable, colors: ColorDict, runs: PendingRuns,
+                      bloom_bits: jnp.ndarray, genome_id: jnp.ndarray,
+                      singleton_cls: jnp.ndarray, log2_bloom: int,
+                      seed1, seed2, use_pallas: bool = False):
+    """Flush the whole run buffer into the table: ONE sorted-batch insert.
 
-    Caller contract: table capacity >= n + total pending.  Every pending key
-    gets ``singleton_cls`` (see PendingRuns invariant) and zero flags, and is
-    added to the Bloom plane here (deferred from the per-batch path).
-    Cross-run duplicate keys (identical rows) are deduplicated here:
-    duplicates sort adjacent, a keep-first mask drops them, and a scatter
-    compacts survivors back to a dense prefix.  Returns
-    (table, bloom_bits, empty runs).
+    Caller contract: table capacity >= n + total pending; colors capacity
+    >= 2*d (every existing class can spawn at most one ``old | {g}`` row).
+    Returns (table, colors, bloom_bits, empty runs, stats).
     """
-    cap, w = table.keys.shape
-    r_n, m = runs.keys.shape[0], runs.keys.shape[1]
-    total = r_n * m
-    full = cap + total
-
-    rkeys = runs.keys.reshape(total, w)
-    slot = jax.lax.broadcasted_iota(jnp.int32, (r_n, m), 1)
-    rvalid = (slot < runs.counts[:, None]).reshape(total)
-
-    dead = jnp.concatenate([
-        (jnp.arange(cap, dtype=jnp.int32) >= table.n).astype(jnp.uint32),
-        (~rvalid).astype(jnp.uint32)])
-    operands = (dead,) + tuple(
-        jnp.concatenate([table.keys[:, i], rkeys[:, i]]) for i in range(w))
-    payload_ops = (
-        jnp.concatenate([table.color_ref,
-                         jnp.full((total,), singleton_cls, dtype=jnp.int32)]),
-        jnp.concatenate([table.flags, jnp.zeros((total,), dtype=jnp.uint8)]),
-    )
-    out = jax.lax.sort(operands + payload_ops, num_keys=w + 1)
-
-    # Live rows form a prefix (dead sorts last); equal keys are adjacent.
-    live = out[0] == 0
-    same_prev = jnp.ones((full - 1,), dtype=bool)
-    for i in range(w):
-        same_prev = same_prev & (out[1 + i][1:] == out[1 + i][:-1])
-    dup = jnp.concatenate([jnp.zeros((1,), bool), same_prev]) & live
-    keep = live & ~dup
-    pos = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    dest = jnp.where(keep, pos, cap)
-    new_n = pos[-1] + 1
-
-    sent = jnp.full((cap,), ss.SENTINEL, dtype=jnp.uint32)
-    out_keys = jnp.stack(
-        [sent.at[dest].set(out[1 + i], mode="drop") for i in range(w)],
-        axis=-1)
-    out_color = jnp.zeros((cap,), jnp.int32).at[dest].set(
-        out[1 + w], mode="drop")
-    out_flags = jnp.zeros((cap,), jnp.uint8).at[dest].set(
-        out[2 + w], mode="drop")
-
-    bloom_bits = bloom_ops.add(bloom_bits, rkeys, rvalid,
-                               log2_bloom, seed1, seed2)
-    starts = (ss.build_bucket_starts(out_keys, new_n) if rebuild_starts
-              else table.bucket_starts)
-    table = KmerTable(keys=out_keys, color_ref=out_color,
-                      flags=out_flags, n=new_n, bucket_starts=starts)
-    return table, bloom_bits, empty_runs(r_n, m, w)
+    r_n, m_run, w = runs.keys.shape
+    total = r_n * m_run
+    run_live = jax.lax.broadcasted_iota(jnp.int32, (r_n, m_run), 0) < runs.used
+    rvalid = (runs.valid & run_live).reshape(total)
+    skeys, svalid, skeep = ss.sort_queries(runs.keys.reshape(total, w), rvalid)
+    table, colors, bloom_bits, stats = insert_sorted_impl(
+        table, colors, bloom_bits, skeys, svalid, skeep,
+        genome_id, singleton_cls, log2_bloom, seed1, seed2,
+        use_pallas=use_pallas)
+    return table, colors, bloom_bits, empty_runs(r_n, m_run, w), stats
 
 
-flush_runs = functools.partial(
-    jax.jit, static_argnames=("log2_bloom", "rebuild_starts"),
-    donate_argnums=(0, 1, 2)
-)(flush_runs_impl)
+flush_genome = functools.partial(
+    jax.jit, static_argnames=("log2_bloom", "use_pallas"),
+    donate_argnums=(0, 1, 2, 3)
+)(flush_genome_impl)
 
 
 @jax.jit

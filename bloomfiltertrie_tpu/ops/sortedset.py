@@ -190,6 +190,69 @@ def lookup(table_keys: jnp.ndarray, n: jnp.ndarray, queries: jnp.ndarray,
     return found, safe
 
 
+def sort_queries(keys: jnp.ndarray, valid: jnp.ndarray):
+    """Sort a batch by key with invalid rows masked to sentinel (sorting last).
+
+    Returns (sorted_keys [M, W], valid_sorted bool[M], keep bool[M]) where
+    ``keep`` marks the first occurrence of each distinct VALID key.  Unlike
+    :func:`sort_unique` this performs **no compaction** (no scatter): callers
+    consume the keep/valid masks directly — duplicates stay in place, which
+    every downstream op (probe, color update, masked merge) tolerates.
+
+    The all-T aliasing case (a genuine all-T k-mer equals the sentinel when
+    k == 16*W) is handled by the leading ``inv`` sort key: valid all-T rows
+    sort immediately before the invalid sentinel run, so the array is still
+    key-ordered and the valid mask separates them.
+    """
+    m, w = keys.shape
+    inv = (~valid).astype(jnp.uint32)
+    masked = jnp.where(valid[:, None], keys,
+                       jnp.full_like(keys, SENTINEL))
+    operands = (inv,) + tuple(masked[:, i] for i in range(w))
+    out = jax.lax.sort(operands, num_keys=w + 1)
+    inv_s = out[0]
+    skeys = jnp.stack(out[1:1 + w], axis=-1)
+    svalid = inv_s == 0
+    boundary = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        (~mw_equal(skeys[1:], skeys[:-1])) | (inv_s[1:] != inv_s[:-1]),
+    ])
+    return skeys, svalid, boundary & svalid
+
+
+def merge_into_masked(table_keys: jnp.ndarray, table_n: jnp.ndarray,
+                      new_keys: jnp.ndarray, new_live: jnp.ndarray,
+                      table_payloads=(), new_payloads=()):
+    """Merge the ``new_live``-masked rows of ``new_keys`` into a sorted table.
+
+    Like :func:`merge_into` but takes a live MASK instead of a compacted
+    prefix — callers skip the compaction scatter entirely.  One
+    (cap+M)-row multi-operand ``lax.sort``; the leading dead flag (sentinel
+    padding and masked-out rows) pushes every dead row past slot ``cap``, so
+    the merged table is the plain ``[:cap]`` slice — no scatters.
+
+    Preconditions: live new rows are unique and disjoint from live table rows;
+    n + sum(new_live) <= cap.
+    Returns (merged_keys, merged_n, merged_payloads).
+    """
+    cap, w = table_keys.shape
+    dead = jnp.concatenate([
+        (jnp.arange(cap, dtype=jnp.int32) >= table_n).astype(jnp.uint32),
+        (~new_live).astype(jnp.uint32)])
+    operands = (dead,) + tuple(
+        jnp.concatenate([table_keys[:, i], new_keys[:, i]]) for i in range(w))
+    payload_ops = tuple(
+        jnp.concatenate([tp, np_])
+        for tp, np_ in zip(table_payloads, new_payloads))
+    out = jax.lax.sort(operands + payload_ops, num_keys=w + 1)
+    out_keys = jnp.stack([out[1 + i][:cap] for i in range(w)], axis=-1)
+    out_keys = jnp.where((out[0][:cap] == 0)[:, None], out_keys,
+                         jnp.full_like(out_keys, SENTINEL))
+    out_payloads = tuple(out[1 + w + i][:cap] for i in range(len(payload_ops)))
+    merged_n = table_n + jnp.sum(new_live.astype(jnp.int32))
+    return out_keys, merged_n, out_payloads
+
+
 def sort_unique(keys: jnp.ndarray, valid: jnp.ndarray):
     """Sort a batch, drop invalid rows and duplicates.
 
