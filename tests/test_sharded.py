@@ -104,3 +104,107 @@ def test_sharded_matches_single_device(built):
         single.insert_kmer_strings(name, genome_kmers(seq, dbg.k))
     np.testing.assert_array_equal(
         dbg.extract_kmers_packed(), single.extract_kmers_packed())
+
+def test_sharded_prefix_matching(built):
+    dbg, oracle, _ = built
+    for prefix in ("A", "AC", "GT", "ACGTA"):
+        got = set(codec.decode_strings(dbg.prefix_matching(prefix), dbg.k))
+        want = {km for km in oracle.all_kmers() if km.startswith(prefix)}
+        assert got == want, prefix
+
+
+def test_sharded_flags_roundtrip(built):
+    dbg, oracle, _ = built
+    kms = sorted(oracle.all_kmers())[:50]
+    packed, valid = codec.encode_strings(kms, dbg.k)
+    dbg.set_flags_packed(packed, 3, valid)
+    got = dbg.get_flags_packed(packed, valid)
+    assert (got == 3).all()
+    # unknown k-mers report flag 0
+    rng = np.random.default_rng(3)
+    unk = [random_genome(rng, dbg.k) for _ in range(10)]
+    pu, vu = codec.encode_strings(unk, dbg.k)
+    fu, _ = dbg.query_kmers_packed(pu, vu)
+    gu = dbg.get_flags_packed(pu, vu)
+    assert (gu[~fu] == 0).all()
+    dbg.set_flags_packed(packed, 0, valid)  # restore for other tests
+
+
+def test_sharded_iterate(built):
+    dbg, oracle, _ = built
+    seen = {}
+    dbg.iterate_over_kmers(lambda km, ann, fl: seen.setdefault(
+        km, set(ann.list_id_genomes().tolist())))
+    assert set(seen) == oracle.all_kmers()
+    for km, colors in list(seen.items())[:100]:
+        assert colors == oracle.colors(km), km
+
+
+def test_sharded_compress_colors(built):
+    dbg, oracle, _ = built
+    dbg.compress_colors()
+    d_after = dbg.nb_color_classes
+    # distinct color sets in the oracle bound the per-shard class count sum
+    distinct = {frozenset(v) for v in oracle.kmers.values()}
+    assert d_after <= dbg.n_shards * len(distinct)
+    # queries still correct after compression
+    kms = sorted(oracle.all_kmers())[:60]
+    packed, valid = codec.encode_strings(kms, dbg.k)
+    _, bitmap = dbg.query_kmers_packed(packed, valid)
+    for i, km in enumerate(kms):
+        row = [int((bitmap[i, g >> 5] >> np.uint32(g & 31)) & 1)
+               for g in range(dbg.nb_genomes)]
+        assert row == oracle.presence_row(km), km
+
+
+def test_sharded_save_load_idempotent(built, tmp_path):
+    dbg, oracle, _ = built
+    p1 = str(tmp_path / "ck1")
+    dbg.save(p1)
+    re1 = ShardedCDBG.load(p1, mesh=dbg.mesh)
+    assert set(re1.extract_kmer_strings()) == oracle.all_kmers()
+    # colors survive the round trip
+    kms = sorted(oracle.all_kmers())[:40]
+    packed, valid = codec.encode_strings(kms, dbg.k)
+    _, bitmap = re1.query_kmers_packed(packed, valid)
+    for i, km in enumerate(kms):
+        row = [int((bitmap[i, g >> 5] >> np.uint32(g & 31)) & 1)
+               for g in range(re1.nb_genomes)]
+        assert row == oracle.presence_row(km), km
+    # save -> load -> save produces identical arrays (no dictionary growth)
+    p2 = str(tmp_path / "ck2")
+    re1.save(p2)
+    z1, z2 = np.load(p1 + ".npz"), np.load(p2 + ".npz")
+    for f in ("keys", "color_ref", "flags", "rows"):
+        np.testing.assert_array_equal(z1[f], z2[f])
+    # bloom plane is rebuilt on load (nonzero when the table is nonempty)
+    assert int(np.asarray(jax.device_get(re1.bloom)).sum()) > 0
+
+
+def test_sharded_load_different_mesh(built, tmp_path):
+    dbg, oracle, _ = built
+    p = str(tmp_path / "ck_mesh")
+    dbg.save(p)
+    other = make_mesh(2 if dbg.n_shards != 2 else 4)
+    re2 = ShardedCDBG.load(p, mesh=other)
+    assert set(re2.extract_kmer_strings()) == oracle.all_kmers()
+
+
+def test_sharded_overflow_retry():
+    """Tiny capacity_factor forces all_to_all drops; retry heals them."""
+    mesh = make_mesh(4)
+    rng = np.random.default_rng(77)
+    k = 27
+    # skewed input: A-heavy genome -> most k-mers route to shard 0
+    seq = "".join(rng.choice(list("ACGT"), size=600,
+                             p=[0.85, 0.05, 0.05, 0.05]))
+    kms = genome_kmers(seq, k)
+    cfg = small_config(k, batch_size=256)
+    dbg = ShardedCDBG(cfg, mesh=mesh, capacity_factor=0.1)
+    # force minimal route capacity so drops actually occur
+    packed, valid = codec.encode_strings(kms, k)
+    dbg.insert_genome("g0", packed, valid)
+    oracle = OracleBFT(k)
+    oracle.insert_genome("g0", kms)
+    assert dbg.total_dropped > 0, "test must actually exercise the drop path"
+    assert set(dbg.extract_kmer_strings()) == oracle.all_kmers()
