@@ -395,14 +395,22 @@ class ColoredDBG:
     # sequence query (reference query_sequence bft.c:1241)
     # ------------------------------------------------------------------
     def query_sequence(self, sequence: str | bytes, threshold: float,
-                       canonical_search: bool) -> np.ndarray:
+                       canonical_search: bool | None = None,
+                       chunk_windows: int = 16384) -> np.ndarray:
         """Genome ids whose k-mer hit count >= ceil(threshold * (L-k+1)).
 
-        Early abort in the reference only short-circuits an inevitable empty
-        answer; computing full counts is equivalent (and batch-friendly).
+        Early abort (reference bft.c:1283-1320), batched: windows are scanned
+        in device-sized chunks and the scan stops as soon as every genome is
+        decided — its count already reached the threshold, or the remaining
+        windows cannot lift it there.  Observationally identical to the full
+        count; for long low-hit queries it skips most of the scan.
+
+        ``canonical_search=None`` uses ``config.canonical``.
         """
         if not (0 < threshold <= 1):
             raise ValueError("threshold must be in (0, 1]")
+        if canonical_search is None:
+            canonical_search = self.config.canonical
         seq = sequence.encode() if isinstance(sequence, str) else sequence
         nb_windows = len(seq) - self.k + 1
         if nb_windows <= 0:
@@ -411,9 +419,26 @@ class ColoredDBG:
         packed, valid = codec.kmerize_sequence(seq, self.k)
         if canonical_search:
             packed = codec.canonical_packed(packed, self.k)
-        _, bitmap = self.query_kmers_packed(packed, valid)
-        counts = np.asarray(_color_counts(jnp.asarray(bitmap)))
-        hits = np.nonzero(counts[: self.nb_genomes] >= need)[0]
+        g = self.nb_genomes
+        counts = np.zeros((max(g, 1),), dtype=np.int64)
+        done = 0
+        for off in range(0, nb_windows, chunk_windows):
+            hi = min(off + chunk_windows, nb_windows)
+            # Pad to the next power of two: one compiled program per size
+            # class instead of one per distinct sequence length.
+            s = hi - off
+            pad = _next_pow2(s) - s
+            chunk_p = np.pad(packed[off:hi], ((0, pad), (0, 0)))
+            valid_p = np.pad(valid[off:hi], (0, pad))
+            _, bitmap = self.query_kmers_packed(chunk_p, valid_p)
+            counts += np.asarray(
+                _color_counts(jnp.asarray(bitmap)))[: counts.shape[0]]
+            done = hi
+            remaining = nb_windows - done
+            decided = (counts[:g] >= need) | (counts[:g] + remaining < need)
+            if decided.all():
+                break  # early abort: no remaining window changes the answer
+        hits = np.nonzero(counts[:g] >= need)[0]
         return hits.astype(np.uint32)
 
     # ------------------------------------------------------------------

@@ -18,7 +18,7 @@ import jax
 import jax.numpy as jnp
 import numpy as np
 
-from bloomfiltertrie_tpu.models import graph as graph_ops
+from bloomfiltertrie_tpu.models import graph_batch
 from bloomfiltertrie_tpu.models.cdbg import ColoredDBG
 from bloomfiltertrie_tpu.ops import codec
 
@@ -55,194 +55,127 @@ def extract_singleton_kmers(dbg: ColoredDBG) -> np.ndarray:
     return dbg.extract_kmers_packed()[counts == 1]
 
 
-def _neighbor_matrix(dbg: ColoredDBG, packed: np.ndarray):
-    """(succ_found [N,4], pred_found [N,4], succ_idx, pred_idx) for packed."""
-    return dbg.neighbor_presence_packed(packed)
+def _links(dbg: ColoredDBG):
+    """Device succ/pred index matrices for the whole graph (one probe)."""
+    dbg.flush()
+    return graph_batch.neighbor_links(
+        dbg.table.keys, dbg.table.n, dbg.table.bucket_starts, dbg.k,
+        use_pallas=dbg._pallas_eligible())
+
+
+def _start_index(dbg: ColoredDBG, start_kmer: str) -> int | None:
+    from bloomfiltertrie_tpu.ops import sortedset as ss
+    packed, valid = codec.encode_strings([start_kmer], dbg.k)
+    if not valid.all():
+        return None
+    dbg.flush()
+    found, idx = ss.lookup(dbg.table.keys, dbg.table.n,
+                           jnp.asarray(packed), dbg.table.bucket_starts)
+    if not bool(jax.device_get(found)[0]):
+        return None
+    return int(jax.device_get(idx)[0])
 
 
 def extract_simple_paths(dbg: ColoredDBG) -> list[str]:
     """Maximal non-branching paths (unitigs), reference :115.
 
-    A k-mer is an interior path vertex iff it has exactly one successor and
-    one predecessor.  Paths are reconstructed host-side by walking from every
-    path head; neighbor presence for ALL k-mers is computed in one batch.
+    Device-scale: one batched neighbor probe + pointer-doubling unitig
+    partition + one sort (models/graph_batch.py) — O(log n) device rounds,
+    no per-vertex host walk.
     """
-    n = dbg.nb_kmers
-    if n == 0:
-        return []
-    packed = dbg.extract_kmers_packed()
-    sf, si, pf, pi = dbg.neighbor_presence_packed(packed)
-    n_succ = sf.sum(axis=1)
-    n_pred = pf.sum(axis=1)
-
-    # map packed row -> table index for O(1) successor chasing
-    strs = codec.decode_strings(packed, dbg.k)
-    index_of = {s: i for i, s in enumerate(strs)}
-
-    def succ_of(i: int) -> list[int]:
-        out = []
-        for b in range(4):
-            if sf[i, b]:
-                out.append(index_of[strs[i][1:] + "ACGT"[b]])
-        return out
-
-    # Standard unitig rule: i is a path head if in-degree != 1 or its single
-    # predecessor branches forward.
-    visited = np.zeros(n, dtype=bool)
-    paths = []
-    for i in range(n):
-        if n_pred[i] == 1:
-            (p,) = _preds(i, pf, strs, index_of)
-            if sf[p].sum() == 1:
-                continue  # interior vertex
-        # i is a path head
-        if visited[i]:
-            continue
-        path = strs[i]
-        visited[i] = True
-        cur = i
-        while n_succ[cur] == 1:
-            (nxt,) = succ_of(cur)
-            if n_pred[nxt] != 1 or visited[nxt]:
-                break
-            path += strs[nxt][-1]
-            visited[nxt] = True
-            cur = nxt
-        paths.append(path)
-    # isolated cycles (all vertices interior) — pick arbitrary entry
-    for i in range(n):
-        if not visited[i]:
-            path = strs[i]
-            visited[i] = True
-            cur = i
-            while n_succ[cur] >= 1:
-                nxt = succ_of(cur)[0]
-                if visited[nxt]:
-                    break
-                path += strs[nxt][-1]
-                visited[nxt] = True
-                cur = nxt
-            paths.append(path)
-    return paths
-
-
-def _preds(i, pf, strs, index_of):
-    out = []
-    for b in range(4):
-        if pf[i, b]:
-            out.append(index_of["ACGT"[b] + strs[i][:-1]])
-    return out
+    return graph_batch.extract_unitigs(dbg)
 
 
 def bfs(dbg: ColoredDBG, start_kmer: str, genome_id: int | None = None
         ) -> list[str]:
-    """Frontier-batched BFS from a k-mer (reference BFS :605 /
+    """Frontier-parallel BFS from a k-mer (reference BFS :605 /
     BFS_subgraph :667 when ``genome_id`` restricts to one color).
 
-    Returns visited k-mers in BFS-level order (within a level: sorted).
+    Returns visited k-mers in BFS-level order (within a level: sorted —
+    identical to sorted-row order since the table is key-sorted).  One fused
+    device step per level.
     """
-    packed, valid = codec.encode_strings([start_kmer], dbg.k)
-    found, _ = dbg.query_kmers_packed(packed, np.asarray(valid))
-    if not found[0]:
+    start = _start_index(dbg, start_kmer)
+    if start is None:
         return []
-    visited: set[str] = set()
-    order: list[str] = []
-    frontier = [start_kmer]
-    visited.add(start_kmer)
-    while frontier:
-        order.extend(frontier)
-        fpacked, _ = codec.encode_strings(frontier, dbg.k)
-        sf, _, pf, _ = dbg.neighbor_presence_packed(fpacked)
-        nxt = set()
-        for i, km in enumerate(frontier):
-            for b in range(4):
-                if sf[i, b]:
-                    nxt.add(km[1:] + "ACGT"[b])
-                if pf[i, b]:
-                    nxt.add("ACGT"[b] + km[:-1])
-        if genome_id is not None:
-            keep = []
-            cand = sorted(nxt - visited)
-            if cand:
-                cpacked, cvalid = codec.encode_strings(cand, dbg.k)
-                _, bitmap = dbg.query_kmers_packed(cpacked, np.asarray(cvalid))
-                for j, km in enumerate(cand):
-                    if (bitmap[j, genome_id >> 5] >> np.uint32(genome_id & 31)) & 1:
-                        keep.append(km)
-            frontier = keep
-        else:
-            frontier = sorted(nxt - visited)
-        visited.update(frontier)
-    return order
+    succ, pred = _links(dbg)
+    eligible = None
+    if genome_id is not None:
+        cls = dbg.table.color_ref
+        bit = (dbg.colors.rows[jnp.maximum(cls, 0), genome_id >> 5]
+               >> jnp.uint32(genome_id & 31)) & 1
+        eligible = (bit == 1) & (cls >= 0)
+        eligible = eligible.at[start].set(True)
+    level = graph_batch.bfs_levels(succ, pred, start, eligible)
+    return _order_by_level(dbg, level)
+
+
+def _order_by_level(dbg: ColoredDBG, level, comp=None) -> list[str]:
+    """Decode rows with level >= 0 ordered by (component, level, row)."""
+    cap = level.shape[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    reached = (level >= 0) & (iota < dbg.table.n)
+    sortkeys = (jnp.where(reached, comp if comp is not None else 0, cap),
+                jnp.where(reached, level, cap), iota)
+    _, _, rows = jax.lax.sort(sortkeys, num_keys=3)
+    m = int(jax.device_get(jnp.sum(reached.astype(jnp.int32))))
+    if m == 0:
+        return []
+    keys = np.asarray(jax.device_get(dbg.table.keys[rows[:m]]))
+    return codec.decode_strings(keys, dbg.k)
 
 
 def dfs(dbg: ColoredDBG, start_kmer: str) -> list[str]:
-    """DFS from a k-mer (reference DFS :743); neighbor probes batched per pop."""
-    packed, valid = codec.encode_strings([start_kmer], dbg.k)
-    found, _ = dbg.query_kmers_packed(packed, np.asarray(valid))
-    if not found[0]:
+    """DFS from a k-mer (reference DFS :743).
+
+    DFS order is inherently sequential; the device supplies the full
+    neighbor-index matrix in ONE probe and the host walks int32 arrays
+    (no per-vertex device call).
+    """
+    start = _start_index(dbg, start_kmer)
+    if start is None:
         return []
-    visited = {start_kmer}
-    order = []
-    stack = [start_kmer]
+    succ_d, pred_d = _links(dbg)
+    n = dbg.nb_kmers
+    succ = np.asarray(jax.device_get(succ_d[:n]))
+    pred = np.asarray(jax.device_get(pred_d[:n]))
+    visited = np.zeros(n, dtype=bool)
+    visited[start] = True
+    order_idx = []
+    stack = [start]
     while stack:
-        km = stack.pop()
-        order.append(km)
-        fpacked, _ = codec.encode_strings([km], dbg.k)
-        sf, _, pf, _ = dbg.neighbor_presence_packed(fpacked)
+        i = stack.pop()
+        order_idx.append(i)
         for b in range(3, -1, -1):
-            for cand, hit in (("ACGT"[b] + km[:-1], pf[0, b]),
-                              (km[1:] + "ACGT"[b], sf[0, b])):
-                if hit and cand not in visited:
-                    visited.add(cand)
-                    stack.append(cand)
-    return order
+            for cand in (pred[i, b], succ[i, b]):
+                if cand >= 0 and not visited[cand]:
+                    visited[cand] = True
+                    stack.append(int(cand))
+    keys = np.asarray(jax.device_get(dbg.table.keys))[order_idx]
+    return codec.decode_strings(keys, dbg.k)
 
 
 def nb_connected_components(dbg: ColoredDBG) -> int:
     """Number of connected components (reference get_nb_connected_component
-    :937), via batched label propagation on the whole graph at once.
-
-    Device algorithm: labels = row index; repeat {gather neighbor labels, take
-    min, psum-style converge} until fixpoint — O(diameter) batched rounds.
-    """
-    n = dbg.nb_kmers
-    if n == 0:
-        return 0
-    packed = dbg.extract_kmers_packed()
-    sf, si, pf, pi = dbg.neighbor_presence_packed(packed)
-    # neighbor index matrix [n, 8]; self-loop where absent
-    self_idx = np.arange(n, dtype=np.int32)[:, None]
-    nbr = np.concatenate([np.where(sf, si, self_idx),
-                          np.where(pf, pi, self_idx)], axis=1)
-    labels = jnp.arange(n, dtype=jnp.int32)
-    nbr_d = jnp.asarray(nbr)
-
-    @jax.jit
-    def step(lab):
-        neigh = jnp.min(lab[nbr_d], axis=1)
-        new = jnp.minimum(lab, neigh)
-        # pointer-jumping accelerates convergence
-        return jnp.minimum(new, new[new])
-
-    prev = None
-    lab = labels
-    while prev is None or not bool(jnp.array_equal(lab, prev)):
-        prev = lab
-        lab = step(lab)
-    return int(jnp.unique(lab).size)
+    :937): min-label hooking + pointer jumping, O(log n) device rounds."""
+    return graph_batch.nb_connected_components(dbg)
 
 
 def cdbg_traversal(dbg: ColoredDBG) -> list[str]:
     """Whole-graph traversal visiting every k-mer once (reference
-    cdbg_traversal :883): BFS restarted from every unvisited k-mer."""
+    cdbg_traversal :883).
+
+    Equivalent to BFS restarted from every unvisited k-mer in sorted order,
+    computed as ONE multi-source BFS (sources = per-component minimum rows)
+    followed by a (component, level, row) sort — fully batched.
+    """
+    dbg.flush()
     n = dbg.nb_kmers
-    strs = codec.decode_strings(dbg.extract_kmers_packed(), dbg.k)
-    visited: set[str] = set()
-    order = []
-    for s in strs:
-        if s not in visited:
-            comp = bfs(dbg, s)
-            visited.update(comp)
-            order.extend(comp)
-    return order
+    if n == 0:
+        return []
+    succ, pred = _links(dbg)
+    lab = graph_batch.component_labels(succ, dbg.table.n)
+    iota = jnp.arange(succ.shape[0], dtype=jnp.int32)
+    sources = (lab == iota) & (iota < dbg.table.n)
+    level = graph_batch.multi_source_bfs_levels(succ, pred, sources)
+    return _order_by_level(dbg, level, comp=lab)

@@ -507,7 +507,10 @@ class ShardedCDBG:
             return None
         return BFTAnnotation(bitmap[0], self.nb_genomes)
 
-    def query_sequence(self, sequence, threshold: float, canonical: bool):
+    def query_sequence(self, sequence, threshold: float,
+                       canonical: bool | None = None):
+        if canonical is None:
+            canonical = self.config.canonical
         seq = sequence.encode() if isinstance(sequence, str) else sequence
         nb_windows = len(seq) - self.k + 1
         if nb_windows <= 0:

@@ -74,14 +74,40 @@ def test_query_kmers_matrix(built):
         assert row == oracle.presence_row(km), km
 
 
-def test_same_genome_reinsertion_noop(built):
+def test_same_genome_reinsertion_noop():
     """Reference: re-inserting a k-mer for its own genome changes nothing
-    (src/retrieveAnnotation.c:278)."""
-    dbg, oracle, genomes = built
-    n_before, d_before = dbg.nb_kmers, dbg.nb_color_classes
-    # duplicate k-mers inside one genome already exercised; check idempotence
-    # of the color matrix against the oracle in other tests.
-    assert dbg.nb_kmers == len(oracle.all_kmers())
+    (src/retrieveAnnotation.c:278).  Insert every k-mer of genome 0 twice,
+    with a flush in between (so the second copy probes the main table and
+    hits the found-and-has-genome no-op path), and assert the final state —
+    n, d, and the full color matrix — equals a build without duplicates."""
+    from bloomfiltertrie_tpu import ColoredDBG
+    rng = np.random.default_rng(31)
+    k = 27
+    g0 = genome_kmers(random_genome(rng, 400), k)
+    g1 = genome_kmers(random_genome(rng, 400), k)
+    all_kms = sorted(set(g0 + g1))
+    packed_all, valid_all = codec.encode_strings(all_kms, k)
+
+    dup = ColoredDBG(small_config(k))
+    dup.start_genome("g0")
+    p0, v0 = codec.encode_strings(g0, k)
+    dup.insert_kmers_packed(p0, v0)
+    dup.flush()                      # first copies now live in the table
+    dup.insert_kmers_packed(p0, v0)  # same-genome re-insertion
+    dup.end_genome()
+    dup.insert_kmer_strings("g1", g1)
+    dup.compress_colors()
+
+    ref = ColoredDBG(small_config(k))
+    ref.insert_kmer_strings("g0", g0)
+    ref.insert_kmer_strings("g1", g1)
+    ref.compress_colors()
+
+    assert dup.nb_kmers == ref.nb_kmers
+    assert dup.nb_color_classes == ref.nb_color_classes
+    _, bm_dup = dup.query_kmers_packed(packed_all, valid_all)
+    _, bm_ref = ref.query_kmers_packed(packed_all, valid_all)
+    np.testing.assert_array_equal(bm_dup, bm_ref)
 
 
 def test_neighbors(built):
@@ -235,3 +261,49 @@ def test_allT_kmer_k16():
         assert dbg.contains(km)
         assert set(dbg.get_colors(km).list_id_genomes().tolist()) == {0}
     assert set(dbg.extract_kmer_strings()) == set(kms)
+
+
+def test_query_sequence_early_abort_equivalence():
+    """Chunked early-abort scan (reference bft.c:1283-1320) must match the
+    full-count answer, and must actually stop early on hopeless queries."""
+    from bloomfiltertrie_tpu import ColoredDBG
+    rng = np.random.default_rng(41)
+    k = 27
+    base = random_genome(rng, 600)
+    dbg = ColoredDBG(small_config(k))
+    dbg.insert_kmer_strings("g0", genome_kmers(base, k))
+    oracle = OracleBFT(k)
+    oracle.insert_genome("g0", genome_kmers(base, k))
+
+    # hopeless long query: no window hits; tiny chunks force several rounds
+    junk = random_genome(rng, 3000)
+    calls = []
+    orig = dbg.query_kmers_packed
+    dbg.query_kmers_packed = lambda *a, **kw: (calls.append(1), orig(*a, **kw))[1]
+    got = dbg.query_sequence(junk, 0.9, False, chunk_windows=256)
+    assert got.tolist() == oracle.query_sequence(junk, 0.9, False)
+    n_chunks_full = -(-(len(junk) - k + 1) // 256)
+    assert len(calls) < n_chunks_full, "early abort never triggered"
+    dbg.query_kmers_packed = orig
+
+    # positive + mixed queries agree with the oracle at several thresholds
+    for seq, thr in [(base[37:300], 0.8), (base[100:400] + junk[:300], 0.4),
+                     (junk[:200], 0.5)]:
+        for canon in (False, True):
+            got = dbg.query_sequence(seq, thr, canon, chunk_windows=64)
+            assert got.tolist() == oracle.query_sequence(seq, thr, canon)
+
+
+def test_config_canonical_default():
+    from bloomfiltertrie_tpu import ColoredDBG
+    rng = np.random.default_rng(43)
+    k = 27
+    base = random_genome(rng, 300)
+    cfg_c = small_config(k, canonical=True)
+    dbg = ColoredDBG(cfg_c)
+    dbg.insert_kmer_strings("g0", genome_kmers(base, k))
+    oracle = OracleBFT(k)
+    oracle.insert_genome("g0", genome_kmers(base, k))
+    q = revcomp(base[10:200])
+    assert dbg.query_sequence(q, 0.7).tolist() == \
+        oracle.query_sequence(q, 0.7, True)

@@ -121,3 +121,67 @@ def test_traversal_visits_all(built):
     order = snippets.cdbg_traversal(dbg)
     assert len(order) == len(oracle.all_kmers())
     assert set(order) == oracle.all_kmers()
+
+
+def test_unitig_isolated_cycle():
+    """An isolated cycle must be emitted exactly once, cut at one vertex."""
+    k = 5
+    dbg = ColoredDBG(small_config(k))
+    # cycle: ACGTA -> CGTAC -> GTACG -> TACGT -> ACGTA  (rotations of ACGT A)
+    cyc = ["ACGTA", "CGTAC", "GTACG", "TACGT"]
+    dbg.insert_kmer_strings("g", cyc)
+    paths = snippets.extract_simple_paths(dbg)
+    covered = [p[i:i + k] for p in paths for i in range(len(p) - k + 1)]
+    assert sorted(covered) == sorted(cyc)
+    assert len(paths) == 1
+
+
+def test_unitig_self_loop():
+    k = 5
+    dbg = ColoredDBG(small_config(k))
+    dbg.insert_kmer_strings("g", ["AAAAA", "AAAAC"])  # AAAAA loops on itself
+    paths = snippets.extract_simple_paths(dbg)
+    covered = [p[i:i + k] for p in paths for i in range(len(p) - k + 1)]
+    assert sorted(covered) == ["AAAAA", "AAAAC"]
+
+
+def test_bfs_color_restricted(built):
+    dbg, oracle = built
+    start = sorted(km for km in oracle.all_kmers()
+                   if 0 in oracle.colors(km))[0]
+    order = snippets.bfs(dbg, start, genome_id=0)
+    assert order[0] == start
+    assert len(order) == len(set(order))
+    # every visited k-mer (except possibly the start) carries color 0
+    for km in order[1:]:
+        assert 0 in oracle.colors(km), km
+    # oracle: reachability within the color-0 subgraph
+    seen = {start}
+    stack = [start]
+    while stack:
+        km = stack.pop()
+        for nb in oracle.successors(km) + oracle.predecessors(km):
+            if nb not in seen and 0 in oracle.colors(nb):
+                seen.add(nb)
+                stack.append(nb)
+    assert set(order) == seen
+
+
+def test_graph_algorithms_scale_smoke():
+    """Unitigs + components on a ~60k-k-mer graph complete quickly on the
+    CPU backend (the TPU path is the same code at 1M+; see BASELINE.md)."""
+    rng = np.random.default_rng(99)
+    k = 31
+    seqs = ["".join(rng.choice(list("ACGT"), size=20000)) for _ in range(3)]
+    cfg = BFTConfig(k=k, initial_capacity=1 << 17,
+                    initial_color_capacity=1 << 8, bloom_log2_bits=16,
+                    batch_size=1 << 15)
+    dbg = ColoredDBG(cfg)
+    for i, s in enumerate(seqs):
+        kms = [s[j:j + k] for j in range(len(s) - k + 1)]
+        dbg.insert_kmer_strings(f"g{i}", kms)
+    n = dbg.nb_kmers
+    assert n > 55000
+    paths = snippets.extract_simple_paths(dbg)
+    assert sum(len(p) - k + 1 for p in paths) == n
+    assert snippets.nb_connected_components(dbg) >= 1
