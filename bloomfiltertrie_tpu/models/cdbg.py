@@ -267,7 +267,8 @@ class ColoredDBG:
             cfg.bloom_log2_bits,
             jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
             jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32),
-            use_pallas=self._pallas_eligible())
+            use_pallas=self._pallas_eligible(),
+            use_bloom=cfg.bloom_enabled)
         self._pending_used = 0
         st = jax.device_get(stats)
         self._n = int(st["n"])
@@ -341,14 +342,30 @@ class ColoredDBG:
     # ------------------------------------------------------------------
     # point queries
     # ------------------------------------------------------------------
-    def query_kmers_packed(self, packed, valid=None):
-        """(found bool[M], color bitmaps uint32[M, cw]) for packed queries."""
+    def query_kmers_packed(self, packed, valid=None,
+                           use_bloom_prefilter: bool = False):
+        """(found bool[M], color bitmaps uint32[M, cw]) for packed queries.
+
+        ``use_bloom_prefilter`` masks Bloom-negative queries before the exact
+        search (reference probe order, src/presenceNode.c:1335-1362).
+        Results are identical either way (the Bloom filter has no false
+        negatives); on TPU the streaming rank kernel is already cheaper than
+        two random-gather probes, so this is off by default — it exists for
+        parity and for miss-heavy workloads on gather-friendly backends.
+        """
         self.flush()
         packed = jnp.asarray(packed, dtype=jnp.uint32)
         if valid is None:
             valid = jnp.ones(packed.shape[0], dtype=bool)
         else:
             valid = jnp.asarray(valid, dtype=bool)
+        if use_bloom_prefilter and self.config.bloom_enabled:
+            cfg = self.config
+            maybe = bloom_ops.probe(
+                self.bloom, packed, cfg.bloom_log2_bits,
+                jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
+                jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32))
+            valid = valid & maybe
         found, _, _, bitmap = _query_colors(
             self.table.keys, self.table.n, self.table.bucket_starts,
             self.table.color_ref, self.colors.rows, packed, valid,
@@ -371,6 +388,24 @@ class ColoredDBG:
         if not found[0]:
             return None
         return BFTAnnotation(bitmap[0], self.nb_genomes)
+
+    def get_color_csr(self):
+        """CSR view of the class dictionary: (offsets int64[d+1], ids int32).
+
+        Class c's genome ids are ``ids[offsets[c]:offsets[c+1]]``, sorted —
+        the decoded form of the reference's mode-2 lists
+        (src/annotation.c:2086 get_id_genomes_from_annot), batch-exported.
+        """
+        from bloomfiltertrie_tpu.models import colors_codec
+        self.flush()
+        d = self._d
+        bits = colors_codec.unpack_rows(
+            np.asarray(jax.device_get(self.colors.rows))[:d],
+            max(self.nb_genomes, 1))
+        cls, gid = np.nonzero(bits)
+        counts = np.bincount(cls, minlength=d)
+        offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
+        return offsets, gid.astype(np.int32)
 
     # annotation set ops (reference intersection/union/sym_difference_annotations)
     def annotation_intersection(self, *annots: BFTAnnotation) -> BFTAnnotation:
@@ -593,19 +628,26 @@ class ColoredDBG:
     # persistence (reference write_BFT_Root/read_BFT_Root write_to_disk.c:21,260)
     # ------------------------------------------------------------------
     def save(self, path: str):
+        """Checkpoint: keys/refs/flags + the color dictionary in compact
+        best-mode encodings (models/colors_codec.py — the reference's
+        annotation modes 0/1/2 applied at the serialization boundary)."""
+        from bloomfiltertrie_tpu.models import colors_codec
         self.flush()
         n, d = self._n, self._d
+        enc = colors_codec.encode_classes(
+            np.asarray(self.colors.rows)[:d], max(self.nb_genomes, 1))
         np.savez_compressed(
             path if path.endswith(".npz") else path + ".npz",
             keys=np.asarray(self.table.keys)[:n],
             color_ref=np.asarray(self.table.color_ref)[:n],
             flags=np.asarray(self.table.flags)[:n],
-            rows=np.asarray(self.colors.rows)[:d],
+            color_modes=enc["modes"], color_offsets=enc["offsets"],
+            color_data=enc["data"],
             bloom=np.asarray(self.bloom),
             manifest=np.frombuffer(json.dumps({
                 "config": self.config.to_dict(),
                 "genome_names": self.genome_names,
-                "n": n, "d": d,
+                "n": n, "d": d, "cw": self.colors.width,
             }).encode(), dtype=np.uint8),
         )
 
@@ -628,9 +670,18 @@ class ColoredDBG:
         cref[:n] = z["color_ref"]
         flags = np.zeros((cap,), dtype=np.uint8)
         flags[:n] = z["flags"]
-        cw = z["rows"].shape[1] if d else 1
-        rows = np.zeros((dcap, cw), dtype=np.uint32)
-        rows[:d] = z["rows"]
+        if "rows" in z:  # legacy uncompressed dictionary
+            cw = z["rows"].shape[1] if d else 1
+            rows = np.zeros((dcap, cw), dtype=np.uint32)
+            rows[:d] = z["rows"]
+        else:
+            from bloomfiltertrie_tpu.models import colors_codec
+            cw = manifest.get("cw", 1)
+            rows = np.zeros((dcap, cw), dtype=np.uint32)
+            rows[:d] = colors_codec.decode_classes(
+                {"modes": z["color_modes"], "offsets": z["color_offsets"],
+                 "data": z["color_data"]},
+                max(len(manifest["genome_names"]), 1), cw)
         keys_d = jnp.asarray(keys)
         n_d = jnp.asarray(n, dtype=jnp.int32)
         self.table = tbl.KmerTable(

@@ -1,0 +1,201 @@
+"""Compact color-class encodings — the reference's succinct annotation modes.
+
+Reference: every k-mer annotation is stored in one of four byte encodings
+picked greedily by minimum size (``compute_best_mode`` src/annotation.c:416;
+decoders src/annotation.c:20-156):
+
+  mode 0  presence bitmap
+  mode 1  sorted [x, y] run list
+  mode 2  sorted id list
+  mode 3  pointer into a global dictionary of color sets
+
+This engine IS mode 3 everywhere in memory: every k-mer's ``color_ref``
+points into one deduplicated dictionary of classes, held as fixed-width
+bitmaps for O(1) device query (models/table.py ColorDict).  The reference's
+modes 0/1/2 reappear HERE, at the serialization boundary: each dictionary
+row is written in its cheapest encoding, so checkpoints keep the reference's
+succinctness without giving up dense device bitmaps at query time.
+
+Sizes (G genomes, c colors, r runs), mirroring the reference's accounting:
+  mode 0: ceil(G/8) bytes          mode 2: sum(varint(delta ids)) bytes
+  mode 1: sum(varint(delta run bounds)) bytes
+Deltas make both list modes insensitive to absolute genome ids — the same
+trick as the reference's dictionary delta compression (``comp_annotation``
+src/annotation.c:1777,1828-1833).
+
+All encode/decode paths are vectorized numpy (host side; runs once per
+checkpoint, not per query).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+MODE_BITMAP = 0
+MODE_RUNS = 1
+MODE_IDS = 2
+
+
+def _varint_len(v: np.ndarray) -> np.ndarray:
+    """Bytes needed per value in LEB128 varint (v >= 0)."""
+    v = v.astype(np.int64)
+    return np.select(
+        [v < (1 << 7), v < (1 << 14), v < (1 << 21), v < (1 << 28)],
+        [1, 2, 3, 4], 5).astype(np.int64)
+
+
+def _varint_encode(values: np.ndarray) -> np.ndarray:
+    """LEB128-encode a flat int array -> uint8 array (vectorized)."""
+    v = values.astype(np.uint64)
+    lens = _varint_len(values)
+    offs = np.concatenate([[0], np.cumsum(lens)])
+    out = np.zeros(int(offs[-1]), dtype=np.uint8)
+    max_len = int(lens.max()) if len(lens) else 0
+    for b in range(max_len):
+        sel = lens > b
+        byte = ((v[sel] >> np.uint64(7 * b)) & np.uint64(0x7F)).astype(np.uint8)
+        cont = (lens[sel] > b + 1).astype(np.uint8) << 7
+        out[offs[:-1][sel] + b] = byte | cont
+    return out
+
+
+def _varint_decode_all(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
+    """Decode every varint in ``buf`` -> (values int64, start offset of each)."""
+    cont = (buf & 0x80) != 0
+    is_start = np.concatenate([[True], ~cont[:-1]])
+    starts = np.flatnonzero(is_start)
+    pos_in_v = np.arange(len(buf)) - np.repeat(
+        starts, np.diff(np.concatenate([starts, [len(buf)]])))
+    vals = np.zeros(len(starts), dtype=np.int64)
+    vid = np.cumsum(is_start) - 1
+    np.add.at(vals, vid, (buf & 0x7F).astype(np.int64) << (7 * pos_in_v))
+    return vals, starts
+
+
+def unpack_rows(rows: np.ndarray, nb_genomes: int) -> np.ndarray:
+    """uint32 bitmap rows [D, cw] -> bool [D, nb_genomes]."""
+    bits = np.unpackbits(rows.view(np.uint8).reshape(rows.shape[0], -1),
+                         axis=1, bitorder="little")
+    return bits[:, :nb_genomes].astype(bool)
+
+
+def pack_rows(bits: np.ndarray, cw: int) -> np.ndarray:
+    """bool [D, G] -> uint32 bitmap rows [D, cw]."""
+    d, g = bits.shape
+    padded = np.zeros((d, cw * 32), dtype=np.uint8)
+    padded[:, :g] = bits
+    return np.packbits(padded, axis=1, bitorder="little").view(np.uint32)
+
+
+def encode_classes(rows: np.ndarray, nb_genomes: int):
+    """Encode bitmap rows in their cheapest mode (reference best-mode pick).
+
+    Returns dict of arrays: modes uint8[D], offsets int64[D+1], data uint8[:].
+    """
+    d = rows.shape[0]
+    if d == 0:
+        return {"modes": np.zeros(0, np.uint8),
+                "offsets": np.zeros(1, np.int64),
+                "data": np.zeros(0, np.uint8)}
+    bits = unpack_rows(rows, nb_genomes)
+    # per-class structure
+    counts = bits.sum(axis=1).astype(np.int64)
+    edges = np.diff(bits.astype(np.int8), axis=1)
+    n_runs = (edges == 1).sum(axis=1) + bits[:, 0]
+
+    # flat id list (CSR) per class, and flat run bounds per class
+    cls_of_bit, gid = np.nonzero(bits)
+    id_offs = np.concatenate([[0], np.cumsum(counts)])
+    # delta-encode ids within each class (first id absolute)
+    deltas = gid.astype(np.int64).copy()
+    inner = np.ones(len(gid), dtype=bool)
+    inner[id_offs[:-1][counts > 0]] = False
+    deltas[inner] = gid[inner] - gid[np.flatnonzero(inner) - 1]
+    id_bytes = np.zeros(d, np.int64)
+    np.add.at(id_bytes, cls_of_bit, _varint_len(deltas))
+
+    # runs: starts where bit rises, ends where it falls
+    padded = np.zeros((d, nb_genomes + 2), dtype=np.int8)
+    padded[:, 1:nb_genomes + 1] = bits
+    ed = np.diff(padded, axis=1)
+    r_cls, r_start = np.nonzero(ed == 1)
+    _, r_end = np.nonzero(ed == -1)          # same per-class multiplicity
+    run_offs = np.concatenate([[0], np.cumsum(n_runs)]).astype(np.int64)
+    # interleave [start0, end0-1, start1, end1-1, ...], delta within class
+    flat_runs = np.empty(2 * len(r_start), dtype=np.int64)
+    flat_runs[0::2] = r_start
+    flat_runs[1::2] = r_end - 1
+    run_cls = np.repeat(r_cls, 2)
+    rd = flat_runs.copy()
+    inner = np.ones(len(flat_runs), dtype=bool)
+    inner[2 * run_offs[:-1][n_runs > 0]] = False
+    rd[inner] = flat_runs[inner] - flat_runs[np.flatnonzero(inner) - 1]
+    run_bytes = np.zeros(d, np.int64)
+    np.add.at(run_bytes, run_cls, _varint_len(rd))
+
+    bitmap_bytes = np.full(d, (nb_genomes + 7) // 8, dtype=np.int64)
+    sizes = np.stack([bitmap_bytes, run_bytes, id_bytes], axis=1)
+    modes = sizes.argmin(axis=1).astype(np.uint8)   # greedy best mode
+    best = sizes[np.arange(d), modes]
+    offsets = np.concatenate([[0], np.cumsum(best)]).astype(np.int64)
+
+    data = np.zeros(int(offsets[-1]), dtype=np.uint8)
+    # mode 0: raw bitmap bytes
+    m0 = modes == MODE_BITMAP
+    if m0.any():
+        bb = np.packbits(bits[m0], axis=1, bitorder="little")
+        w = bb.shape[1]
+        dest = offsets[:-1][m0][:, None] + np.arange(w)[None, :]
+        data[dest.reshape(-1)] = bb.reshape(-1)
+
+    def _emit(value_cls: np.ndarray, values: np.ndarray, mode_mask: np.ndarray):
+        """Scatter the varint stream of the selected classes into ``data``.
+
+        Values arrive grouped by class (ascending), so each class's bytes
+        form one contiguous segment of the flat encoding; the destination is
+        offsets[cls] + (position within segment) — pure cumsum arithmetic,
+        one vectorized scatter.
+        """
+        sel = mode_mask[value_cls]
+        c = value_cls[sel]
+        vals = values[sel]
+        if not len(vals):
+            return
+        enc = _varint_encode(vals)
+        vlen = _varint_len(vals)
+        per_cls_bytes = np.zeros(d, np.int64)
+        np.add.at(per_cls_bytes, c, vlen)
+        seg_start = np.concatenate([[0], np.cumsum(per_cls_bytes)])[:-1]
+        byte_cls = np.repeat(c, vlen)
+        byte_idx = np.arange(len(enc), dtype=np.int64)
+        data[offsets[:-1][byte_cls] + byte_idx - seg_start[byte_cls]] = enc
+
+    _emit(cls_of_bit, deltas, modes == MODE_IDS)
+    _emit(run_cls, rd, modes == MODE_RUNS)
+    return {"modes": modes, "offsets": offsets, "data": data}
+
+
+def decode_classes(enc: dict, nb_genomes: int, cw: int) -> np.ndarray:
+    """Inverse of :func:`encode_classes` -> uint32 bitmap rows [D, cw]."""
+    modes = enc["modes"]
+    offsets = enc["offsets"]
+    data = enc["data"]
+    d = len(modes)
+    bits = np.zeros((d, nb_genomes), dtype=bool)
+    for i in range(d):
+        chunk = data[offsets[i]: offsets[i + 1]]
+        if modes[i] == MODE_BITMAP:
+            bb = np.unpackbits(chunk, bitorder="little")[:nb_genomes]
+            bits[i, : len(bb)] = bb
+        elif modes[i] == MODE_IDS:
+            if len(chunk):
+                vals, _ = _varint_decode_all(chunk)
+                ids = np.cumsum(vals)
+                bits[i, ids] = True
+        else:
+            if len(chunk):
+                vals, _ = _varint_decode_all(chunk)
+                bounds = np.cumsum(vals)
+                for s, e in zip(bounds[0::2], bounds[1::2]):
+                    bits[i, s:e + 1] = True
+    return pack_rows(bits, cw)

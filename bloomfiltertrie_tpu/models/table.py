@@ -211,7 +211,7 @@ def insert_sorted_impl(table: KmerTable, colors: ColorDict,
                        skeep: jnp.ndarray,
                        genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
                        log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
-                       use_pallas: bool = False):
+                       use_pallas: bool = False, use_bloom: bool = True):
     """Insert a KEY-SORTED batch for genome ``genome_id``.
 
     The functional analogue of the reference's hot loop ``insertKmers`` ->
@@ -255,9 +255,11 @@ def insert_sorted_impl(table: KmerTable, colors: ColorDict,
     )
 
     # 4. Bloom plane update for the new keys (reference BF_filter2 analogue,
-    #    include/CC.h:38-45; here one flat plane per shard).
-    bloom_bits = bloom_ops.add(bloom_bits, skeys, is_new,
-                               log2_bloom, seed1, seed2)
+    #    include/CC.h:38-45; here one flat plane per shard).  Optional: the
+    #    exact rank probe does not need it (config.bloom_enabled).
+    if use_bloom:
+        bloom_bits = bloom_ops.add(bloom_bits, skeys, is_new,
+                                   log2_bloom, seed1, seed2)
 
     # 5. Prefix-bucket index rebuild (SkipFilter2/3 analogue) — one 64K-query
     #    search, ~47 ms at 16M rows, amortized over a whole genome.
@@ -276,7 +278,7 @@ def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarr
                       batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
                       genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
                       log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
-                      use_pallas: bool = False):
+                      use_pallas: bool = False, use_bloom: bool = True):
     """Immediate insert of an unsorted batch: sort + :func:`insert_sorted_impl`.
 
     Used by the sharded per-chunk path and as the compile-check entry; the
@@ -286,11 +288,12 @@ def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarr
     skeys, svalid, skeep = ss.sort_queries(batch_keys, batch_valid)
     return insert_sorted_impl(table, colors, bloom_bits, skeys, svalid, skeep,
                               genome_id, singleton_cls, log2_bloom,
-                              seed1, seed2, use_pallas=use_pallas)
+                              seed1, seed2, use_pallas=use_pallas,
+                              use_bloom=use_bloom)
 
 
 insert_batch = functools.partial(
-    jax.jit, static_argnames=("log2_bloom", "use_pallas"),
+    jax.jit, static_argnames=("log2_bloom", "use_pallas", "use_bloom"),
     donate_argnums=(0, 1, 2)
 )(insert_batch_impl)
 
@@ -354,7 +357,8 @@ buffer_batch = functools.partial(jax.jit, donate_argnums=(0,))(buffer_batch_impl
 def flush_genome_impl(table: KmerTable, colors: ColorDict, runs: PendingRuns,
                       bloom_bits: jnp.ndarray, genome_id: jnp.ndarray,
                       singleton_cls: jnp.ndarray, log2_bloom: int,
-                      seed1, seed2, use_pallas: bool = False):
+                      seed1, seed2, use_pallas: bool = False,
+                      use_bloom: bool = True):
     """Flush the whole run buffer into the table: ONE sorted-batch insert.
 
     Caller contract: table capacity >= n + total pending; colors capacity
@@ -369,12 +373,12 @@ def flush_genome_impl(table: KmerTable, colors: ColorDict, runs: PendingRuns,
     table, colors, bloom_bits, stats = insert_sorted_impl(
         table, colors, bloom_bits, skeys, svalid, skeep,
         genome_id, singleton_cls, log2_bloom, seed1, seed2,
-        use_pallas=use_pallas)
+        use_pallas=use_pallas, use_bloom=use_bloom)
     return table, colors, bloom_bits, empty_runs(r_n, m_run, w), stats
 
 
 flush_genome = functools.partial(
-    jax.jit, static_argnames=("log2_bloom", "use_pallas"),
+    jax.jit, static_argnames=("log2_bloom", "use_pallas", "use_bloom"),
     donate_argnums=(0, 1, 2, 3)
 )(flush_genome_impl)
 

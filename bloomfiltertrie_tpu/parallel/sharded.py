@@ -119,7 +119,8 @@ def _route_buffer_body(run_keys, run_valid, run_used, drop_acc, batch, valid,
 
 def _flush_body(keys, cref, flags, n, starts, rows, d, bloom_bits,
                 run_keys, run_valid, run_used, drop_acc, gid, singleton,
-                seeds, *, log2_bloom: int, use_pallas: bool):
+                seeds, *, log2_bloom: int, use_pallas: bool,
+                use_bloom: bool = True):
     table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
                           n=n[0], bucket_starts=starts[0])
     colors = tbl.ColorDict(rows=rows[0], d=d[0])
@@ -127,7 +128,8 @@ def _flush_body(keys, cref, flags, n, starts, rows, d, bloom_bits,
                            used=run_used[0])
     table, colors, bloom, runs, stats = tbl.flush_genome_impl(
         table, colors, runs, bloom_bits[0], gid, singleton[0],
-        log2_bloom, seeds[0], seeds[1], use_pallas=use_pallas)
+        log2_bloom, seeds[0], seeds[1], use_pallas=use_pallas,
+        use_bloom=use_bloom)
     totals = {
         "new": jax.lax.psum(stats["new"], AXIS),
         "colored": jax.lax.psum(stats["colored"], AXIS),
@@ -422,7 +424,8 @@ class ShardedCDBG:
             lambda: jax.shard_map(
                 functools.partial(
                     _flush_body, log2_bloom=self.config.bloom_log2_bits,
-                    use_pallas=self._pallas_eligible()),
+                    use_pallas=self._pallas_eligible(),
+                    use_bloom=self.config.bloom_enabled),
                 mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS),) * 12 + (P(), P(AXIS), P()),
                 out_specs=((P(AXIS),) * 11 + (P(AXIS), P()))))
@@ -665,16 +668,21 @@ class ShardedCDBG:
         all_cref = (np.concatenate(g_cref) if g_cref
                     else np.zeros((0,), np.int32))
         # Global dedup: identical class rows across shards collapse to one.
+        from bloomfiltertrie_tpu.models import colors_codec
         uniq, inverse = np.unique(all_rows, axis=0, return_inverse=True)
         all_cref = inverse.astype(np.int32)[all_cref] if len(all_cref) else all_cref
+        enc = colors_codec.encode_classes(uniq, max(self.nb_genomes, 1))
         np.savez_compressed(
             path if path.endswith(".npz") else path + ".npz",
             keys=np.concatenate(g_keys), color_ref=all_cref,
-            flags=np.concatenate(g_flags), rows=uniq,
+            flags=np.concatenate(g_flags),
+            color_modes=enc["modes"], color_offsets=enc["offsets"],
+            color_data=enc["data"],
             manifest=np.frombuffer(json.dumps({
                 "config": dataclasses.asdict(
                     dataclasses.replace(self.config, shard_bits=0)),
                 "genome_names": self.genome_names,
+                "d": int(uniq.shape[0]), "cw": int(rows.shape[2]),
                 "sharded": True,
             }).encode(), dtype=np.uint8))
 
@@ -690,8 +698,15 @@ class ShardedCDBG:
         config = BFTConfig.from_dict(manifest["config"])
         self = cls(config, mesh=mesh, capacity_factor=capacity_factor)
         self.genome_names = list(manifest["genome_names"])
-        keys, cref, flags, rows = (z["keys"], z["color_ref"], z["flags"],
-                                   z["rows"])
+        keys, cref, flags = z["keys"], z["color_ref"], z["flags"]
+        if "rows" in z:  # legacy uncompressed dictionary
+            rows = z["rows"]
+        else:
+            from bloomfiltertrie_tpu.models import colors_codec
+            rows = colors_codec.decode_classes(
+                {"modes": z["color_modes"], "offsets": z["color_offsets"],
+                 "data": z["color_data"]},
+                max(len(manifest["genome_names"]), 1), manifest.get("cw", 1))
         n_shards = self.n_shards
         sb = self.config.shard_bits
         shard_of = ((keys[:, 0] >> np.uint32(32 - sb)).astype(np.int64)

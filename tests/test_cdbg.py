@@ -307,3 +307,49 @@ def test_config_canonical_default():
     q = revcomp(base[10:200])
     assert dbg.query_sequence(q, 0.7).tolist() == \
         oracle.query_sequence(q, 0.7, True)
+
+
+def test_bloom_prefilter_and_disabled_mode():
+    """Bloom pre-filter must not change answers (no false negatives), and a
+    bloom_enabled=False build stays exact while skipping plane maintenance."""
+    from bloomfiltertrie_tpu import ColoredDBG
+    rng = np.random.default_rng(53)
+    k = 27
+    kms = genome_kmers(random_genome(rng, 500), k)
+    misses = [random_genome(rng, k) for _ in range(200)]
+    queries = kms[:100] + misses
+    packed, valid = codec.encode_strings(queries, k)
+
+    dbg = ColoredDBG(small_config(k))
+    dbg.insert_kmer_strings("g0", kms)
+    f_plain, bm_plain = dbg.query_kmers_packed(packed, valid)
+    f_bloom, bm_bloom = dbg.query_kmers_packed(packed, valid,
+                                               use_bloom_prefilter=True)
+    np.testing.assert_array_equal(f_plain, f_bloom)
+    np.testing.assert_array_equal(bm_plain, bm_bloom)
+    assert f_plain[:100].all()
+
+    off = ColoredDBG(small_config(k, bloom_enabled=False))
+    off.insert_kmer_strings("g0", kms)
+    f_off, bm_off = off.query_kmers_packed(packed, valid)
+    np.testing.assert_array_equal(f_plain, f_off)
+    np.testing.assert_array_equal(bm_plain, bm_off)
+    # plane untouched when disabled
+    import jax as _jax
+    assert int(np.asarray(_jax.device_get(off.bloom)).sum()) == 0
+    assert int(np.asarray(_jax.device_get(dbg.bloom)).sum()) > 0
+
+
+def test_color_csr(built):
+    dbg, oracle, _ = built
+    offsets, ids = dbg.get_color_csr()
+    assert offsets.shape[0] == dbg.nb_color_classes + 1
+    # every k-mer's class decodes to its oracle color set
+    n = dbg.nb_kmers
+    import jax as _jax
+    cref = np.asarray(_jax.device_get(dbg.table.color_ref))[:n]
+    strs = dbg.extract_kmer_strings()
+    for i in range(0, n, 7):
+        c = cref[i]
+        got = set(ids[offsets[c]:offsets[c + 1]].tolist())
+        assert got == oracle.colors(strs[i]), strs[i]

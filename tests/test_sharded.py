@@ -175,7 +175,8 @@ def test_sharded_save_load_idempotent(built, tmp_path):
     p2 = str(tmp_path / "ck2")
     re1.save(p2)
     z1, z2 = np.load(p1 + ".npz"), np.load(p2 + ".npz")
-    for f in ("keys", "color_ref", "flags", "rows"):
+    for f in ("keys", "color_ref", "flags", "color_modes", "color_offsets",
+              "color_data"):
         np.testing.assert_array_equal(z1[f], z2[f])
     # bloom plane is rebuilt on load (nonzero when the table is nonempty)
     assert int(np.asarray(jax.device_get(re1.bloom)).sum()) > 0
