@@ -2,7 +2,7 @@
 
 Mirrors the reference CLI (src/main.c:40-47):
 
-  bft build k {kmers|kmers_comp} list_genome_files output_file [Options]
+  bft build k {kmers|kmers_comp|fastx} list_genome_files output_file [Options]
   bft load file_bft [-add_genomes {kmers|kmers_comp} list_genome_files output_file] [Options]
 
   Options:
@@ -29,7 +29,7 @@ from bloomfiltertrie_tpu.utils import drivers
 
 USAGE = """\
 Usage:
-bft build k {kmers|kmers_comp} list_genome_files output_file [Options]
+bft build k {kmers|kmers_comp|fastx} list_genome_files output_file [Options]
 bft load file_bft [-add_genomes {kmers|kmers_comp} list_genome_files output_file] [Options]
 
 Options:
@@ -67,12 +67,12 @@ def main(argv: list[str] | None = None) -> int:
         if not (4 <= k <= MAX_K):
             _err(f"Length k (for k-mers) must be in [4, {MAX_K}].\n")
         fmt, list_file, output = argv[2], argv[3], argv[4]
-        if fmt not in ("kmers", "kmers_comp"):
+        if fmt not in ("kmers", "kmers_comp", "fastx"):
             _err("Unrecognized type of input files.\nChoice must be 'kmers' "
-                 "for k-mers files or 'kmers_comp' for compressed k-mers files.\n")
+                 "for k-mers files, 'kmers_comp' for compressed k-mers files "
+                 "or 'fastx' for FASTA files.\n")
         dbg = ColoredDBG(BFTConfig(k=k, treshold_compression=1))
-        drivers.insert_genomes_from_kmer_files(
-            dbg, _read_list_file(list_file), fmt == "kmers_comp")
+        drivers.insert_genomes(dbg, _read_list_file(list_file), fmt)
         _print_memory(dbg)
         dbg.save(output)
         rest = argv[5:]
@@ -86,8 +86,7 @@ def main(argv: list[str] | None = None) -> int:
             if len(rest) < 4:
                 _err(USAGE)
             fmt, list_file, output = rest[1], rest[2], rest[3]
-            drivers.insert_genomes_from_kmer_files(
-                dbg, _read_list_file(list_file), fmt == "kmers_comp")
+            drivers.insert_genomes(dbg, _read_list_file(list_file), fmt)
             dbg.save(output)
             rest = rest[4:]
     else:

@@ -46,6 +46,43 @@ def insert_genomes_from_kmer_files(dbg: ColoredDBG, paths: list[str],
             print(f"Current memory: {dbg.memory_stats()['bytes_total'] // 2**20} mb")
 
 
+def insert_genomes_from_fasta_files(dbg: ColoredDBG, paths: list[str],
+                                    verbose: bool = True):
+    """FASTA/FASTQ-header-tolerant genome ingest (one genome per file).
+
+    The reference's FASTx path is present but commented out
+    (``insert_Genomes_from_FASTxFiles`` src/file_io.c:277-318); this is the
+    active equivalent: records are k-merized (non-ACGT windows skipped, the
+    reference's IUPAC-reject rule, src/fasta.c:3-53) and streamed through the
+    same buffered insert path as k-mer files.  Uses the native C parser when
+    built (bloomfiltertrie_tpu/native/parser.cpp).
+    """
+    t_start = time.monotonic()
+    for path in paths:
+        t0 = time.monotonic()
+        packed, valid = kmer_io.read_fasta_file(path, dbg.k)
+        dbg.insert_genome(os.path.basename(path), packed, valid)
+        if verbose:
+            t1 = time.monotonic()
+            peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+            print(f"\nFile {dbg.nb_genomes - 1}: {path}\n")
+            print(f"{int(valid.sum())} kmers read")
+            print(f"Elapsed time: {t1 - t0:.6f} s")
+            print(f"Total time: {t1 - t_start:.6f} s")
+            print(f"Peak of memory: {peak // 1024} mb")
+            print(f"Current memory: {dbg.memory_stats()['bytes_total'] // 2**20} mb")
+
+
+def insert_genomes(dbg: ColoredDBG, paths: list[str], fmt: str,
+                   verbose: bool = True):
+    """Dispatch on input format: 'kmers' | 'kmers_comp' | 'fastx'."""
+    if fmt == "fastx":
+        insert_genomes_from_fasta_files(dbg, paths, verbose)
+    else:
+        insert_genomes_from_kmer_files(dbg, paths, fmt == "kmers_comp",
+                                       verbose)
+
+
 def _write_csv(path: str, header: list[str], rows: np.ndarray):
     """CSV with the reference's trailing ``\\0``-for-``\\n`` quirk."""
     with open(path, "wb") as f:

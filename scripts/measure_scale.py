@@ -1,0 +1,220 @@
+"""Scale measurements on one TPU chip (BASELINE.md evidence).
+
+1. BASELINE config-5 shape: 1000 genomes, k=63 (multi-word keys, 32-word
+   color bitmaps) — pan-genome-structured synthetic data (core + 16 strain
+   clusters + per-genome unique k-mers).  Reports color-memory share,
+   bytes/class, compact-encoding bytes, build throughput.
+2. Graph algorithms at >= 1M k-mers: unitig partition + connected components
+   wall time (VERDICT round-1 item 6 "done =" criterion).
+3. Bloom negative pre-filter vs direct rank probe at 1M miss-heavy queries.
+
+Writes one JSON line per section to stdout; progress to stderr.
+"""
+
+import json
+import os
+import sys as _sys
+_sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+import sys
+import time
+
+import numpy as np
+
+
+def log(msg):
+    print(msg, file=sys.stderr, flush=True)
+
+
+def fence(x):
+    import jax
+    import jax.numpy as jnp
+    leaves = jax.tree_util.tree_leaves(x)
+    s = sum(jnp.sum(l[..., :1].astype(jnp.int32)) if l.ndim else l.astype(jnp.int32)
+            for l in leaves)
+    return int(jax.device_get(s))
+
+
+def section_config5():
+    import jax
+    import jax.numpy as jnp
+    from bloomfiltertrie_tpu.config import BFTConfig
+    from bloomfiltertrie_tpu.models.cdbg import ColoredDBG
+    from bloomfiltertrie_tpu.models import colors_codec
+
+    k = 63
+    w = 4
+    n_genomes = 1000
+    n_clusters = 16
+    core, shell, uniq = 1 << 15, 1 << 15, 1 << 13
+    per_genome = core + shell + uniq          # 72k after padding -> 1<<17 run
+
+    cfg = BFTConfig(k=k, initial_capacity=1 << 24,
+                    initial_color_capacity=1 << 16,
+                    bloom_log2_bits=24, batch_size=1 << 17, pending_runs=1,
+                    treshold_compression=1)
+    dbg = ColoredDBG(cfg)
+
+    def rand_keys(key, n):
+        bits = jax.random.bits(key, (n, w), jnp.uint32)
+        # clear the 2 unused tail bits of k=63 (63*2 = 126 of 128)
+        return bits & jnp.asarray([0xFFFFFFFF] * 3 + [0xFFFFFFFC],
+                                  dtype=jnp.uint32)[None, :]
+
+    core_keys = rand_keys(jax.random.PRNGKey(1), core)
+    cluster_keys = [rand_keys(jax.random.PRNGKey(100 + c), shell)
+                    for c in range(n_clusters)]
+    jax.block_until_ready((core_keys, cluster_keys))
+
+    pad = (1 << 17) - per_genome
+    t0 = time.monotonic()
+    for g in range(n_genomes):
+        u = rand_keys(jax.random.PRNGKey(10_000 + g), uniq)
+        batch = jnp.concatenate([
+            core_keys, cluster_keys[g % n_clusters], u,
+            jnp.zeros((pad, w), jnp.uint32)])
+        valid = jnp.arange(1 << 17) < per_genome
+        dbg.start_genome(f"g{g}")
+        dbg.insert_kmers_packed(batch, valid)
+        dbg.end_genome()   # flush + per-genome color compression
+        if g % 100 == 99:
+            log(f"  genome {g+1}/{n_genomes}: n={dbg.nb_kmers} "
+                f"d={dbg.nb_color_classes} t={time.monotonic()-t0:.0f}s")
+    dt = time.monotonic() - t0
+
+    stats = dbg.memory_stats()
+    rows = np.asarray(dbg.colors.rows)[: dbg.nb_color_classes]
+    enc = colors_codec.encode_classes(rows, n_genomes)
+    live_bytes_keys = dbg.nb_kmers * w * 4
+    out = {
+        "section": "config5_1000genomes_k63",
+        "n_kmers": stats["nb_kmers"],
+        "n_classes": stats["nb_color_classes"],
+        "genomes": n_genomes,
+        "build_s": round(dt, 1),
+        "insert_rate_kmers_s": round(n_genomes * per_genome / dt),
+        "bytes_keys_capacity": stats["bytes_keys"],
+        "bytes_keys_live": live_bytes_keys,
+        "bytes_colors_capacity": stats["bytes_colors"],
+        "bytes_colors_live": int(rows.size * 4),
+        "bytes_per_class_bitmap": int(rows.shape[1] * 4) if len(rows) else 0,
+        "bytes_colors_compact": int(len(enc["data"])),
+        "colors_share_of_total": round(
+            stats["bytes_colors"] / stats["bytes_total"], 4),
+    }
+    print(json.dumps(out), flush=True)
+    return dbg
+
+
+def section_graph(dbg_small=None):
+    import jax
+    import jax.numpy as jnp
+    from bloomfiltertrie_tpu.config import BFTConfig
+    from bloomfiltertrie_tpu.models.cdbg import ColoredDBG
+    from bloomfiltertrie_tpu.models import graph_batch
+    from bloomfiltertrie_tpu.ops import codec
+
+    k = 31
+    cfg = BFTConfig(k=k, initial_capacity=1 << 21,
+                    initial_color_capacity=1 << 12,
+                    bloom_log2_bits=22, batch_size=1 << 20, pending_runs=2)
+    dbg = ColoredDBG(cfg)
+    rng = np.random.default_rng(7)
+    # 2 long sequences -> ~2M k-mers, mostly 2 long unitig chains + overlaps
+    log("  building 2M-k-mer graph...")
+    for gi in range(2):
+        seq = rng.integers(0, 4, size=1_000_000 + k - 1, dtype=np.uint8)
+        ascii_seq = np.array([65, 67, 71, 84], dtype=np.uint8)[seq].tobytes()
+        packed, valid = codec.kmerize_sequence(ascii_seq, k)
+        dbg.insert_genome(f"g{gi}", packed, valid)
+    n = dbg.nb_kmers
+    log(f"  n={n}")
+
+    t0 = time.monotonic()
+    succ, pred = graph_batch.neighbor_links(
+        dbg.table.keys, dbg.table.n, dbg.table.bucket_starts, k,
+        use_pallas=dbg._pallas_eligible())
+    fence((succ, pred))
+    t_links = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    uid, pos = graph_batch.unitig_assign(succ, pred, dbg.table.n)
+    fence((uid, pos))
+    t_unitig = time.monotonic() - t0
+
+    t0 = time.monotonic()
+    lab = graph_batch.component_labels(succ, dbg.table.n)
+    iota = jnp.arange(succ.shape[0], dtype=jnp.int32)
+    n_comp = int(jax.device_get(jnp.sum(
+        ((lab == iota) & (iota < dbg.table.n)).astype(jnp.int32))))
+    t_comp = time.monotonic() - t0
+
+    n_unitigs = int(jax.device_get(jnp.sum(
+        ((pos == 0) & (iota < dbg.table.n)).astype(jnp.int32))))
+    print(json.dumps({
+        "section": "graph_2M",
+        "n_kmers": n,
+        "neighbor_links_s": round(t_links, 2),
+        "unitig_assign_s": round(t_unitig, 2),
+        "components_s": round(t_comp, 2),
+        "n_unitigs": n_unitigs,
+        "n_components": n_comp,
+    }), flush=True)
+
+
+def section_bloom():
+    import jax
+    import jax.numpy as jnp
+    from bloomfiltertrie_tpu.config import BFTConfig
+    from bloomfiltertrie_tpu.models.cdbg import ColoredDBG
+
+    k = 31
+    cfg = BFTConfig(k=k, initial_capacity=1 << 24,
+                    initial_color_capacity=1 << 12,
+                    bloom_log2_bits=26, batch_size=1 << 20, pending_runs=8)
+    dbg = ColoredDBG(cfg)
+    def gen(key, n):
+        return (jax.random.bits(key, (n, 2), jnp.uint32)
+                & jnp.asarray([0xFFFFFFFF, 0xFFFFFFFC], jnp.uint32)[None, :])
+    data = gen(jax.random.PRNGKey(0), 1 << 23)
+    dbg.start_genome("g0")
+    dbg.insert_kmers_packed(data)
+    dbg.end_genome()
+    # 1M queries, ~90% misses
+    q = jnp.concatenate([data[: 100_000],
+                         gen(jax.random.PRNGKey(9), 900_000 + 48576)[:900_000]])
+    q = jnp.pad(q, ((0, (1 << 20) - q.shape[0]), (0, 0)))
+    jax.block_until_ready(q)
+
+    def timed(use_bloom):
+        dbg.query_kmers_packed(q, use_bloom_prefilter=use_bloom)  # compile
+        t0 = time.monotonic()
+        f, _ = dbg.query_kmers_packed(q, use_bloom_prefilter=use_bloom)
+        return time.monotonic() - t0, int(f.sum())
+
+    t_plain, hits_plain = timed(False)
+    t_bloom, hits_bloom = timed(True)
+    assert hits_plain == hits_bloom
+    print(json.dumps({
+        "section": "bloom_prefilter_1M_90pct_miss",
+        "query_s_direct": round(t_plain, 3),
+        "query_s_bloom_prefilter": round(t_bloom, 3),
+        "hits": hits_plain,
+    }), flush=True)
+
+
+if __name__ == "__main__":
+    import jax
+    jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+    which = sys.argv[1] if len(sys.argv) > 1 else "all"
+    log(f"devices: {jax.devices()}")
+    if which in ("all", "graph"):
+        log("== graph 2M ==")
+        section_graph()
+    if which in ("all", "bloom"):
+        log("== bloom prefilter ==")
+        section_bloom()
+    if which in ("all", "config5"):
+        log("== config5 1000 genomes k=63 ==")
+        section_config5()
+    log("done")
