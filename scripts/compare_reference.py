@@ -1,0 +1,186 @@
+"""Head-to-head: our CLI vs the ACTUAL reference `bft` binary.
+
+The reference binary is built out-of-tree with a std::map-backed Judy shim
+(Judy/jemalloc are not in this image; the shim preserves Judy semantics —
+see /tmp/refbuild/shim).  Datasets are the ones scripts/oracle_scale_run.py
+generates (k=27, a multiple of 9 as the reference requires, main.c:61-63).
+
+Checks (BASELINE.json's bit-for-bit contract):
+  * -extract_kmers: k-mer SET equality (reference order is trie-DFS,
+    SURVEY §3 says compare as sets).
+  * -query_kmers CSV: byte-for-byte equality (incl. the trailing NUL).
+  * -query_branching: identical counts.
+  * load -add_genomes: merged-index query CSV byte equality.
+  * -query_sequences CSV: byte-for-byte equality.
+Also records both sides' wall times for BASELINE.md.
+
+Usage: python scripts/compare_reference.py [ref_binary]
+Prerequisite: run scripts/oracle_scale_run.py first (builds the datasets).
+"""
+
+import json
+import os
+import subprocess
+import sys
+import time
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
+
+import jax  # noqa: E402
+jax.config.update("jax_platforms", "cpu")
+
+BASE = "/tmp/bft_oracle_scale"
+REF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refbuild/bft"
+K = "27"
+
+
+def log(m):
+    print(m, file=sys.stderr, flush=True)
+
+
+def run_ref(args, cwd=None):
+    t0 = time.monotonic()
+    p = subprocess.run([REF] + args, capture_output=True, text=True, cwd=cwd)
+    dt = time.monotonic() - t0
+    if p.returncode != 0:
+        raise RuntimeError(f"ref bft failed: {p.stderr[-500:]}\n{p.stdout[-500:]}")
+    return dt, p.stdout
+
+
+def run_ours(args):
+    from bloomfiltertrie_tpu import cli
+    import io
+    import contextlib
+    t0 = time.monotonic()
+    buf = io.StringIO()
+    with contextlib.redirect_stdout(buf):
+        rc = cli.main(args)
+    dt = time.monotonic() - t0
+    assert rc == 0
+    return dt, buf.getvalue()
+
+
+def csv_of(query_path):
+    """The reference writes <basename-minus-ext>.csv into its CWD
+    (src/main.c:263); run_ref pins cwd to the dataset dir."""
+    base = os.path.basename(query_path)
+    dot = base.rfind(".")
+    return (base[:dot] if dot > 0 else base) + ".csv"
+
+
+def compare_config2():
+    d = os.path.join(BASE, "c2")
+    lst, qlist = os.path.join(d, "list.txt"), os.path.join(d, "qlist.txt")
+    qpath = os.path.join(d, "queries.kmers")
+
+    t_ref, out_ref = run_ref(["build", K, "kmers", lst,
+                              os.path.join(d, "ref_idx"),
+                              "-query_kmers", "kmers", qlist,
+                              "-query_branching", "kmers", qlist,
+                              "-extract_kmers", "kmers",
+                              os.path.join(d, "ref_ext.kmers")], cwd=d)
+    ref_csv = open(os.path.join(d, csv_of(qpath)), "rb").read()
+    os.rename(os.path.join(d, csv_of(qpath)), os.path.join(d, csv_of(qpath)) + ".ref")
+    ref_branch = [l for l in out_ref.splitlines()
+                  if "branching" in l.lower() and "=" in l]
+
+    t_ours, out_ours = run_ours(["build", K, "kmers", lst,
+                                 os.path.join(d, "our_idx"),
+                                 "-query_kmers", "kmers", qlist,
+                                 "-query_branching", "kmers", qlist,
+                                 "-extract_kmers", "kmers",
+                                 os.path.join(d, "our_ext.kmers")])
+    our_csv = open(qpath + ".query_kmers.out", "rb").read()
+    our_branch = [l for l in out_ours.splitlines()
+                  if "branching" in l.lower() and ":" in l]
+
+    ref_set = set(open(os.path.join(d, "ref_ext.kmers")).read().split())
+    our_set = set(open(os.path.join(d, "our_ext.kmers")).read().split())
+    ref_n = int(ref_branch[0].split()[-1].strip(".")) if ref_branch else -1
+    our_n = int(our_branch[0].split()[-1].strip(".")) if our_branch else -2
+    print(json.dumps({
+        "config": 2, "ref_s": round(t_ref, 1), "ours_s": round(t_ours, 1),
+        "kmer_set_equal": ref_set == our_set,
+        "query_csv_byte_equal": ref_csv == our_csv,
+        "branching_ref": ref_n, "branching_ours": our_n,
+        "branching_equal": ref_n == our_n,
+    }), flush=True)
+    assert ref_set == our_set and ref_csv == our_csv and ref_n == our_n
+
+
+def compare_config3():
+    d = os.path.join(BASE, "c3")
+    l10, l5 = os.path.join(d, "l10.txt"), os.path.join(d, "l5.txt")
+    qlist = os.path.join(d, "qlist.txt")
+    qpath = open(qlist).read().strip()
+
+    t_ref_b, _ = run_ref(["build", K, "kmers", l10,
+                          os.path.join(d, "ref_idx10")], cwd=d)
+    t_ref_a, _ = run_ref(["load", os.path.join(d, "ref_idx10"),
+                          "-add_genomes", "kmers", l5,
+                          os.path.join(d, "ref_idx15"),
+                          "-query_kmers", "kmers", qlist], cwd=d)
+    ref_csv = open(os.path.join(d, csv_of(qpath)), "rb").read()
+    os.rename(os.path.join(d, csv_of(qpath)),
+              os.path.join(d, csv_of(qpath)) + ".ref3")
+
+    t_our_b, _ = run_ours(["build", K, "kmers", l10,
+                           os.path.join(d, "our_idx10")])
+    t_our_a, _ = run_ours(["load", os.path.join(d, "our_idx10.npz"),
+                           "-add_genomes", "kmers", l5,
+                           os.path.join(d, "our_idx15"),
+                           "-query_kmers", "kmers", qlist])
+    our_csv = open(qpath + ".query_kmers.out", "rb").read()
+    print(json.dumps({
+        "config": 3,
+        "ref_build10_s": round(t_ref_b, 1), "ref_add5_s": round(t_ref_a, 1),
+        "ours_build10_s": round(t_our_b, 1), "ours_add5_s": round(t_our_a, 1),
+        "query_csv_byte_equal": ref_csv == our_csv,
+    }), flush=True)
+    assert ref_csv == our_csv
+
+
+def compare_config4():
+    d = os.path.join(BASE, "c4")
+    lst = os.path.join(d, "list.txt")
+    slist = os.path.join(d, "slist.txt")
+    spath = open(slist).read().strip()
+
+    t_ref, _ = run_ref(["build", K, "kmers", lst, os.path.join(d, "ref_idx"),
+                        "-query_sequences", "0.8", "canonical", slist], cwd=d)
+    ref_csv = open(os.path.join(d, csv_of(spath)), "rb").read()
+    os.rename(os.path.join(d, csv_of(spath)),
+              os.path.join(d, csv_of(spath)) + ".ref4")
+
+    t_ours, _ = run_ours(["build", K, "kmers", lst, os.path.join(d, "our_idx"),
+                          "-query_sequences", "0.8", "canonical", slist])
+    our_csv = open(spath + ".query_sequences.out", "rb").read()
+    print(json.dumps({
+        "config": 4, "ref_s": round(t_ref, 1), "ours_s": round(t_ours, 1),
+        "seq_csv_byte_equal": ref_csv == our_csv,
+    }), flush=True)
+    assert ref_csv == our_csv
+
+
+def compare_config1():
+    d = os.path.join(BASE, "c1")
+    lst = os.path.join(d, "list.txt")
+    t_ref, out = run_ref(["build", K, "kmers", lst, os.path.join(d, "ref_idx"),
+                          "-extract_kmers", "kmers",
+                          os.path.join(d, "ref_ext.kmers")], cwd=d)
+    ref_set = set(open(os.path.join(d, "ref_ext.kmers")).read().split())
+    our_set = set(open(os.path.join(d, "ext.kmers")).read().split())
+    print(json.dumps({
+        "config": 1, "ref_build_extract_s": round(t_ref, 1),
+        "kmer_set_equal": ref_set == our_set,
+        "n": len(ref_set),
+    }), flush=True)
+    assert ref_set == our_set
+
+
+if __name__ == "__main__":
+    for name, fn in [("2", compare_config2), ("3", compare_config3),
+                     ("4", compare_config4), ("1", compare_config1)]:
+        log(f"== compare config {name} ==")
+        fn()
+    log("done")
