@@ -769,6 +769,55 @@ class ShardedCDBG:
         self.compress_colors()
         return self
 
+    def to_single(self) -> "object":
+        """Materialize the sharded index as one ColoredDBG.
+
+        Whole-graph algorithms (models/graph_batch.py, models/snippets.py)
+        operate on one table; connectivity crosses shard boundaries, so the
+        honest way to run them on a sharded build is to gather the (already
+        globally sorted) shard ranges into a single-device index.  Cost: one
+        host round trip of keys/refs/flags + the deduplicated dictionary.
+        """
+        import json
+        import os
+        import tempfile
+        from bloomfiltertrie_tpu.models.cdbg import ColoredDBG
+        self.flush()
+        with tempfile.TemporaryDirectory() as td:
+            p = os.path.join(td, "gather")
+            self.save(p)
+            z = np.load(p + ".npz")
+            manifest = json.loads(z["manifest"].tobytes().decode())
+            from bloomfiltertrie_tpu.models import colors_codec
+            rows = colors_codec.decode_classes(
+                {"modes": z["color_modes"], "offsets": z["color_offsets"],
+                 "data": z["color_data"]},
+                max(len(manifest["genome_names"]), 1), manifest.get("cw", 1))
+            dbg = ColoredDBG(BFTConfig.from_dict(manifest["config"]))
+            dbg.genome_names = list(manifest["genome_names"])
+            n, d = z["keys"].shape[0], rows.shape[0]
+            cap = max(_next_pow2(max(n, 1)), dbg.config.initial_capacity)
+            dcap = max(_next_pow2(max(d, 1)), dbg.config.initial_color_capacity)
+            w = dbg.config.words
+            keys = np.full((cap, w), 0xFFFFFFFF, np.uint32)
+            keys[:n] = z["keys"]
+            cref = np.full((cap,), -1, np.int32)
+            cref[:n] = z["color_ref"]
+            flags = np.zeros((cap,), np.uint8)
+            flags[:n] = z["flags"]
+            rows_full = np.zeros((dcap, rows.shape[1] if d else 1), np.uint32)
+            rows_full[:d] = rows
+            keys_d = jnp.asarray(keys)
+            n_d = jnp.asarray(n, dtype=jnp.int32)
+            dbg.table = tbl.KmerTable(
+                keys=keys_d, color_ref=jnp.asarray(cref),
+                flags=jnp.asarray(flags), n=n_d,
+                bucket_starts=ss.build_bucket_starts(keys_d, n_d))
+            dbg.colors = tbl.ColorDict(rows=jnp.asarray(rows_full),
+                                       d=jnp.asarray(d, dtype=jnp.int32))
+            dbg._n, dbg._d = n, d
+        return dbg
+
     # -- observability ----------------------------------------------------
     def memory_stats(self) -> dict:
         self.flush()

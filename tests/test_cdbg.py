@@ -236,7 +236,7 @@ def test_compress_colors_idempotent(built):
             oracle.colors(km)
 
 
-@pytest.mark.parametrize("k", [27, 32, 63])
+@pytest.mark.parametrize("k", [27, 32, 63, 126])
 def test_multiword_k(k):
     rng = np.random.default_rng(k)
     seq = random_genome(rng, 300)

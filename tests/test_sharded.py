@@ -209,3 +209,21 @@ def test_sharded_overflow_retry():
     oracle.insert_genome("g0", kms)
     assert dbg.total_dropped > 0, "test must actually exercise the drop path"
     assert set(dbg.extract_kmer_strings()) == oracle.all_kmers()
+
+
+def test_sharded_to_single_graph_algorithms(built):
+    """Whole-graph algorithms run on a sharded build via to_single()."""
+    from bloomfiltertrie_tpu.models import snippets
+    dbg, oracle, _ = built
+    single = dbg.to_single()
+    assert set(single.extract_kmer_strings()) == oracle.all_kmers()
+    # colors survive the gather
+    for km in sorted(oracle.all_kmers())[:25]:
+        assert set(single.get_colors(km).list_id_genomes().tolist()) == \
+            oracle.colors(km)
+    paths = snippets.extract_simple_paths(single)
+    covered = [p[i:i + single.k] for p in paths
+               for i in range(len(p) - single.k + 1)]
+    assert set(covered) == oracle.all_kmers()
+    assert len(covered) == len(set(covered))
+    assert snippets.nb_connected_components(single) >= 1
