@@ -83,6 +83,49 @@ def insert_genomes(dbg: ColoredDBG, paths: list[str], fmt: str,
                                        verbose)
 
 
+def insert_genomes_pipelined(dbg: ColoredDBG, paths: list[str], fmt: str,
+                             verbose: bool = True):
+    """Pipelined ingest: host parses file i+1 while the device digests file i.
+
+    The PP row of SURVEY §2's parallelism table: JAX dispatch is async, so
+    ``insert_kmers_packed`` (buffer appends) returns immediately and the
+    per-genome flush overlaps the next file's host-side parse, which runs in
+    a prefetch thread.  Observable results are identical to the sequential
+    drivers (same insertion order).
+    """
+    import concurrent.futures as cf
+
+    from bloomfiltertrie_tpu.utils.profiling import PhaseTimer
+
+    def parse(path):
+        if fmt == "fastx":
+            return kmer_io.read_fasta_file(path, dbg.k)
+        return kmer_io.read_kmer_file(path, dbg.k, fmt == "kmers_comp")
+
+    timer = PhaseTimer()
+    t_start = time.monotonic()
+    with cf.ThreadPoolExecutor(max_workers=1) as pool:
+        fut = pool.submit(parse, paths[0]) if paths else None
+        for i, path in enumerate(paths):
+            with timer.phase("parse_wait"):
+                packed, valid = fut.result()
+            fut = (pool.submit(parse, paths[i + 1])
+                   if i + 1 < len(paths) else None)
+            with timer.phase("device_insert"):
+                t0 = time.monotonic()
+                dbg.insert_genome(os.path.basename(path), packed, valid)
+                t1 = time.monotonic()
+            if verbose:
+                peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
+                print(f"\nFile {dbg.nb_genomes - 1}: {path}\n")
+                print(f"{int(valid.sum())} kmers read")
+                print(f"Elapsed time: {t1 - t0:.6f} s")
+                print(f"Total time: {t1 - t_start:.6f} s")
+                print(f"Peak of memory: {peak // 1024} mb")
+    if verbose:
+        print(timer.report())
+
+
 def _write_csv(path: str, header: list[str], rows: np.ndarray):
     """CSV with the reference's trailing ``\\0``-for-``\\n`` quirk."""
     with open(path, "wb") as f:

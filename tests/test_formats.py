@@ -78,3 +78,46 @@ def test_csv_quirk_empty_rows(tmp_path):
     drivers._write_csv(path, ["a", "b"],
                        np.zeros((0, 2), dtype=np.uint8))
     assert open(path, "rb").read() == b"a,b\0"
+
+
+def test_pipelined_ingest_matches_sequential(tmp_path):
+    """insert_genomes_pipelined == sequential driver (PP ingest overlap)."""
+    import numpy as np
+    from bloomfiltertrie_tpu import BFTConfig, ColoredDBG
+    from bloomfiltertrie_tpu.utils import drivers
+    rng = np.random.default_rng(8)
+    k = 27
+    paths = []
+    for i in range(3):
+        seq = "".join(rng.choice(list("ACGT"), size=300))
+        kms = [seq[j:j + k] for j in range(len(seq) - k + 1)]
+        p = tmp_path / f"g{i}.kmers"
+        p.write_text("\n".join(kms) + "\n")
+        paths.append(str(p))
+    cfg = BFTConfig(k=k, initial_capacity=1 << 8,
+                    initial_color_capacity=1 << 6, bloom_log2_bits=12,
+                    batch_size=128)
+    a, b = ColoredDBG(cfg), ColoredDBG(cfg)
+    drivers.insert_genomes(a, paths, "kmers", verbose=False)
+    drivers.insert_genomes_pipelined(b, paths, "kmers", verbose=False)
+    np.testing.assert_array_equal(a.extract_kmers_packed(),
+                                  b.extract_kmers_packed())
+    assert a.genome_names == b.genome_names
+    qs, qv = None, None
+    import bloomfiltertrie_tpu.ops.codec as codec
+    qs, qv = codec.encode_strings(
+        [open(paths[0]).read().split()[0]], k)
+    fa, ba = a.query_kmers_packed(qs, qv), b.query_kmers_packed(qs, qv)
+    np.testing.assert_array_equal(fa[1], ba[1])
+
+
+def test_phase_timer_and_trace_noop():
+    from bloomfiltertrie_tpu.utils.profiling import PhaseTimer, trace
+    t = PhaseTimer()
+    with t.phase("x"):
+        pass
+    with t.phase("x"):
+        pass
+    assert t.counts["x"] == 2 and "x:" in t.report()
+    with trace(None):  # no dir configured -> no-op
+        pass
