@@ -9,6 +9,21 @@ k-mer tensors instead of a pointer-chasing burst trie, prefix-sharded across
 TPU meshes.
 """
 
+import os as _os
+
+if _os.environ.get("JAX_PLATFORMS"):
+    # The container's sitecustomize registers the axon TPU plugin and pins
+    # jax_platforms at interpreter start, silently overriding the standard
+    # JAX_PLATFORMS env var; re-apply it before anything can initialize the
+    # backend (same trick as tests/conftest.py) so CPU-pinned runs stay off
+    # the single-chip TPU tunnel.
+    import jax as _jax
+
+    try:
+        _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
+    except Exception:
+        pass
+
 from bloomfiltertrie_tpu.config import BFTConfig
 from bloomfiltertrie_tpu.models.cdbg import BFTAnnotation, ColoredDBG
 

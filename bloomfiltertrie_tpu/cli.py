@@ -23,6 +23,9 @@ from __future__ import annotations
 
 import sys
 
+# Importing the package applies the JAX_PLATFORMS env override (see
+# bloomfiltertrie_tpu/__init__.py) — required for CPU-pinned CLI runs in
+# environments whose sitecustomize pins a TPU backend at interpreter start.
 from bloomfiltertrie_tpu.config import BFTConfig, MAX_K
 from bloomfiltertrie_tpu.models.cdbg import ColoredDBG
 from bloomfiltertrie_tpu.utils import drivers

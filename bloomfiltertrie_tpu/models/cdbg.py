@@ -31,6 +31,7 @@ import functools
 import json
 import math
 import os
+import warnings
 
 
 def _debug_invariants() -> bool:
@@ -134,11 +135,21 @@ class ColoredDBG:
         # Streaming Pallas kernels need a TPU backend and TILE-aligned
         # capacity (pow2 >= 2048 is always TILE-aligned).
         self.use_pallas = jax.default_backend() == "tpu"
+        self._warned_pallas = False
 
     def _pallas_eligible(self) -> bool:
         from bloomfiltertrie_tpu.ops import pallas_kernels as pk
-        return (self.use_pallas and self.table.capacity % pk.TILE == 0
-                and self.table.capacity >= pk.TILE)
+        aligned = (self.table.capacity % pk.TILE == 0
+                   and self.table.capacity >= pk.TILE)
+        if self.use_pallas and not aligned and not self._warned_pallas:
+            self._warned_pallas = True
+            warnings.warn(
+                f"capacity {self.table.capacity} is not a multiple of the "
+                f"Pallas TILE ({pk.TILE}); the streaming rank kernel is "
+                "disabled and lookups fall back to the slower XLA bucketed "
+                "search. Use a power-of-two capacity >= 2048.",
+                RuntimeWarning, stacklevel=3)
+        return self.use_pallas and aligned
 
     # ------------------------------------------------------------------
     # basics
