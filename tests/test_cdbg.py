@@ -353,3 +353,37 @@ def test_color_csr(built):
         c = cref[i]
         got = set(ids[offsets[c]:offsets[c + 1]].tolist())
         assert got == oracle.colors(strs[i]), strs[i]
+
+
+def test_debug_invariants_catch_corruption(monkeypatch):
+    """VERDICT r1 #7 done-criterion: corrupt a structural contract and see a
+    hard error under BFT_DEBUG_INVARIANTS=1 (SURVEY §5 sanitizers row)."""
+    import dataclasses
+
+    import jax.numpy as jnp
+    import pytest
+
+    from bloomfiltertrie_tpu import ColoredDBG
+
+    k = 27
+    dbg = ColoredDBG(small_config(k))
+    rng = np.random.default_rng(5)
+    dbg.insert_kmer_strings("g0", genome_kmers(random_genome(rng, 200), k))
+
+    monkeypatch.setenv("BFT_DEBUG_INVARIANTS", "1")
+    dbg._check_invariants()  # healthy state passes
+
+    # corrupt: point a live row's color_ref outside [0, d)
+    bad = dbg.table.color_ref.at[0].set(jnp.int32(dbg.nb_color_classes + 7))
+    dbg.table = dataclasses.replace(dbg.table, color_ref=bad)
+    with pytest.raises(AssertionError, match="color_ref out of range"):
+        dbg._check_invariants()
+
+    # corrupt: break sortedness of the key tensor
+    dbg2 = ColoredDBG(small_config(k))
+    dbg2.insert_kmer_strings("g0", genome_kmers(random_genome(rng, 200), k))
+    swapped = dbg2.table.keys.at[0].set(dbg2.table.keys[1]).at[1].set(
+        dbg2.table.keys[0])
+    dbg2.table = dataclasses.replace(dbg2.table, keys=swapped)
+    with pytest.raises(AssertionError, match="not sorted"):
+        dbg2._check_invariants()
