@@ -22,7 +22,16 @@ if _os.environ.get("JAX_PLATFORMS"):
     try:
         _jax.config.update("jax_platforms", _os.environ["JAX_PLATFORMS"])
     except Exception:
-        pass
+        import warnings as _warnings
+
+        _warnings.warn(
+            f"JAX_PLATFORMS={_os.environ['JAX_PLATFORMS']!r} could not be "
+            "applied; the JAX backend was already initialized before "
+            "bloomfiltertrie_tpu was imported, so this run stays on the "
+            "platform chosen at interpreter start (possibly the single "
+            "shared TPU chip). Import bloomfiltertrie_tpu (or set the pin) "
+            "before any jax computation.",
+            RuntimeWarning, stacklevel=2)
 
 from bloomfiltertrie_tpu.config import BFTConfig
 from bloomfiltertrie_tpu.models.cdbg import BFTAnnotation, ColoredDBG

@@ -135,17 +135,23 @@ class ColoredDBG:
         # Streaming Pallas kernels need a TPU backend and TILE-aligned
         # capacity (pow2 >= 2048 is always TILE-aligned).
         self.use_pallas = jax.default_backend() == "tpu"
-        self._warned_pallas = False
+        self._warned_pallas = None  # capacity value last warned about
 
     def _pallas_eligible(self) -> bool:
         from bloomfiltertrie_tpu.ops import pallas_kernels as pk
         aligned = (self.table.capacity % pk.TILE == 0
                    and self.table.capacity >= pk.TILE)
-        if self.use_pallas and not aligned and not self._warned_pallas:
-            self._warned_pallas = True
+        if self.use_pallas and not aligned \
+                and self._warned_pallas != self.table.capacity:
+            # Eligibility is re-evaluated per call: a later growth to a
+            # TILE-aligned capacity re-enables the kernel.  Key the one-shot
+            # warning on the offending capacity so a new misaligned capacity
+            # warns again.
+            self._warned_pallas = self.table.capacity
             warnings.warn(
                 f"capacity {self.table.capacity} is not a multiple of the "
-                f"Pallas TILE ({pk.TILE}); the streaming rank kernel is "
+                f"Pallas TILE ({pk.TILE}); until the table grows to a "
+                "TILE-aligned capacity, the streaming rank kernel is "
                 "disabled and lookups fall back to the slower XLA bucketed "
                 "search. Use a power-of-two capacity >= 2048.",
                 RuntimeWarning, stacklevel=3)

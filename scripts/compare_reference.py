@@ -1,9 +1,11 @@
 """Head-to-head: our CLI vs the ACTUAL reference `bft` binary.
 
-The reference binary is built out-of-tree with a std::map-backed Judy shim
-(Judy/jemalloc are not in this image; the shim preserves Judy semantics —
-see /tmp/refbuild/shim).  Datasets are the ones scripts/oracle_scale_run.py
-generates (k=27, a multiple of 9 as the reference requires, main.c:61-63).
+The reference binary is built by the committed harness in scripts/refbuild/
+(std::map-backed Judy shim + two upstream main.c bugfix patches; Judy and
+jemalloc are not in this image).  If the binary is missing it is rebuilt
+automatically (scripts/refbuild/build.sh; ~1 min).  Datasets are the ones
+scripts/oracle_scale_run.py generates (k=27, a multiple of 9 as the
+reference requires, main.c:61-63).
 
 Checks (BASELINE.json's bit-for-bit contract):
   * -extract_kmers: k-mer SET equality (reference order is trie-DFS,
@@ -32,6 +34,15 @@ jax.config.update("jax_platforms", "cpu")
 BASE = "/tmp/bft_oracle_scale"
 REF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refbuild/bft"
 K = "27"
+
+if not os.path.exists(REF):
+    # Rebuild the reference binary from the committed harness.
+    print(f"{REF} missing; building via scripts/refbuild/build.sh",
+          file=sys.stderr, flush=True)
+    subprocess.run(
+        ["bash", os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                              "refbuild", "build.sh")],
+        check=True)
 
 
 def log(m):
