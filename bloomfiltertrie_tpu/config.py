@@ -35,7 +35,16 @@ class BFTConfig:
     Attributes:
       k: k-mer length (4..126).  Reference constraint is k % 9 == 0.
       initial_capacity: starting k-mer table capacity per shard (power of two).
-      initial_color_capacity: starting color-class dictionary rows (power of 2).
+      initial_color_capacity: starting SMALL-pool color-class rows (power of
+        2) — sorted id-list classes of <= color_small_width genomes
+        (models/table.py ColorStore).
+      initial_dense_color_capacity: starting DENSE-pool rows (power of 2) —
+        bitmap classes of > color_small_width genomes.
+      color_small_width: S, the id-list width of the small color pool.  A
+        class of <= S genomes costs S*4 bytes instead of ceil(G/32)*4 — the
+        in-memory analogue of the reference's per-annotation best-mode pick
+        (src/annotation.c:416).  Raise for very diverse pan-genomes; lower
+        to 4 to halve small-class memory.
       bloom_log2_bits: log2 of Bloom filter bits per shard.  The reference uses
         a 1504-bit filter *per CC* (``default_param.h:42``); ours is one flat
         per-shard bit plane probed with two hashes.
@@ -63,6 +72,8 @@ class BFTConfig:
     k: int = 27
     initial_capacity: int = 1 << 16
     initial_color_capacity: int = 1 << 12
+    initial_dense_color_capacity: int = 1 << 10
+    color_small_width: int = 8
     bloom_log2_bits: int = 26
     bloom_seed1: int = 0x9E3779B1
     bloom_seed2: int = 0x85EBCA77
@@ -76,10 +87,13 @@ class BFTConfig:
     def __post_init__(self):
         if not (4 <= self.k <= MAX_K):
             raise ValueError(f"k must be in [4, {MAX_K}], got {self.k}")
-        for name in ("initial_capacity", "initial_color_capacity"):
+        for name in ("initial_capacity", "initial_color_capacity",
+                     "initial_dense_color_capacity"):
             v = getattr(self, name)
             if v & (v - 1):
                 raise ValueError(f"{name} must be a power of two, got {v}")
+        if not (1 <= self.color_small_width <= 256):
+            raise ValueError("color_small_width must be in [1, 256]")
 
     @property
     def words(self) -> int:

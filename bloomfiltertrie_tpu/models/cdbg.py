@@ -60,13 +60,29 @@ def _append_singleton(colors, genome_id):
 
 
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _query_colors(table_keys, n, starts, color_ref, rows, queries, valid,
+def _query_colors(table_keys, n, starts, color_ref, colors, queries, valid,
                   use_pallas=False):
     """found[M], class id[M], color bitmap uint32[M, cw]."""
     found, idx = _lookup(table_keys, n, starts, queries, valid, use_pallas)
     cls = jnp.where(found, color_ref[idx], -1)
-    bitmap = jnp.where(found[:, None], rows[jnp.maximum(cls, 0)], 0)
+    bitmap = tbl.class_bitmap(colors, cls)
     return found, idx, cls, bitmap
+
+
+@jax.jit
+def _color_counts_per_kmer(color_ref, colors, n):
+    """Number of genomes of every table row's class, int32[cap] (0 past n)."""
+    cap = color_ref.shape[0]
+    live = jnp.arange(cap, dtype=jnp.int32) < n
+    return jnp.where(live, tbl.class_sizes(colors, color_ref), 0)
+
+
+@jax.jit
+def _has_genome_per_kmer(color_ref, colors, n, genome_id):
+    """bool[cap]: table row's class contains genome_id (False past n)."""
+    cap = color_ref.shape[0]
+    live = jnp.arange(cap, dtype=jnp.int32) < n
+    return live & tbl.class_has_genome(colors, color_ref, genome_id)
 
 
 def _lookup(table_keys, n, starts, queries, valid, use_pallas):
@@ -120,10 +136,14 @@ class ColoredDBG:
         self.genome_names: list[str] = []
         w = config.words
         self.table = tbl.empty_table(config.initial_capacity, w)
-        self.colors = tbl.empty_colors(config.initial_color_capacity, 1)
+        self.colors = tbl.empty_colors(config.initial_color_capacity,
+                                       config.initial_dense_color_capacity,
+                                       config.color_small_width, 1)
         self.bloom = bloom_ops.empty_bits(config.bloom_log2_bits)
         self._n = 0           # host mirror of table.n
-        self._d = 0           # host mirror of colors.d
+        self._sd = 0          # host mirror of colors.sd (small classes)
+        self._dd = 0          # host mirror of colors.dd (dense classes)
+        self._small_full = 0  # live small classes at exactly S genomes
         self._cur_singleton = None   # class id of {current genome}
         self._genomes_since_compress = 0
         # Run-buffered insert state (tbl.PendingRuns); created lazily on the
@@ -175,7 +195,11 @@ class ColoredDBG:
 
     @property
     def nb_color_classes(self) -> int:
-        return self._d
+        return self._sd + self._dd
+
+    @property
+    def _d(self) -> int:  # legacy alias: total class count
+        return self._sd + self._dd
 
     # ------------------------------------------------------------------
     # capacity management (replaces the reference's realloc/burst logic)
@@ -185,14 +209,20 @@ class ColoredDBG:
         if need > self.table.capacity:
             self.table = tbl.grow_table(self.table, _next_pow2(need))
 
-    def _ensure_colors(self, extra: int, genomes: int | None = None):
+    def _ensure_colors(self, small_extra: int, dense_extra: int,
+                       genomes: int | None = None):
         g = self.nb_genomes if genomes is None else genomes
         width = max(1, _next_pow2(math.ceil(max(g, 1) / 32)))
-        need = self._d + extra
+        need_s = self._sd + small_extra
+        need_d = self._dd + dense_extra
+        scap = self.colors.small_capacity
         dcap = self.colors.capacity
-        if need > dcap or width > self.colors.width:
+        if need_s > scap or need_d > dcap or width > self.colors.width:
             self.colors = tbl.grow_colors(
-                self.colors, max(_next_pow2(need), dcap), max(width, self.colors.width))
+                self.colors,
+                max(_next_pow2(need_s), scap),
+                max(_next_pow2(max(need_d, 1)), dcap),
+                max(width, self.colors.width))
 
     # ------------------------------------------------------------------
     # genome insertion (reference insert path, SURVEY §4.1)
@@ -201,11 +231,11 @@ class ColoredDBG:
         """Open a new genome; id = insertion order (src/file_io.c:124-125)."""
         gid = len(self.genome_names)
         self.genome_names.append(name)
-        self._ensure_colors(1, genomes=gid + 1)
+        self._ensure_colors(1, 0, genomes=gid + 1)
         self.colors, cls = _append_singleton(
             self.colors, jnp.asarray(gid, dtype=jnp.int32))
         self._cur_singleton = int(jax.device_get(cls))
-        self._d += 1
+        self._sd += 1
         return gid
 
     def insert_kmers_packed(self, packed, valid=None, sync_stats: bool = True):
@@ -272,9 +302,11 @@ class ColoredDBG:
         cfg = self.config
         # Upper bound: every pending slot could be a distinct new key.
         self._ensure_table(self._pending_used * self._run_size)
-        # Every existing class can spawn at most one `old | {g}` row.
-        self._ensure_colors(self._d + 1)
-        d_before, dcap = self._d, self.colors.capacity
+        # Every small class can spawn one small child; every dense class one
+        # dense child; every size-S small class can overflow into dense.
+        self._ensure_colors(self._sd + 1, self._dd + self._small_full)
+        sd_before, scap = self._sd, self.colors.small_capacity
+        dd_before, dcap = self._dd, self.colors.capacity
         gid = len(self.genome_names) - 1
         self.table, self.colors, self.bloom, self.runs, stats = tbl.flush_genome(
             self.table, self.colors, self.runs, self.bloom,
@@ -289,11 +321,19 @@ class ColoredDBG:
         self._pending_used = 0
         st = jax.device_get(stats)
         self._n = int(st["n"])
-        self._d = int(st["d"])
-        if int(st["colored"]) > dcap - d_before:
+        self._sd = int(st["sd"])
+        self._dd = int(st["dd"])
+        self._small_full = int(st["small_full"])
+        if int(st["colored_small"]) > scap - sd_before:
             raise RuntimeError(
-                f"color capacity contract violated: {int(st['colored'])} new "
-                f"classes > {dcap - d_before} free rows (corruption)")
+                f"small color capacity contract violated: "
+                f"{int(st['colored_small'])} new classes > "
+                f"{scap - sd_before} free rows (corruption)")
+        if int(st["colored_dense"]) > dcap - dd_before:
+            raise RuntimeError(
+                f"dense color capacity contract violated: "
+                f"{int(st['colored_dense'])} new classes > "
+                f"{dcap - dd_before} free rows (corruption)")
         if _debug_invariants():
             self._check_invariants()
 
@@ -301,7 +341,10 @@ class ColoredDBG:
         """Refresh host count mirrors after deferred-sync insertion."""
         self.flush()
         self._n = int(jax.device_get(self.table.n))
-        self._d = int(jax.device_get(self.colors.d))
+        self._sd = int(jax.device_get(self.colors.sd))
+        self._dd = int(jax.device_get(self.colors.dd))
+        self._small_full = int(jax.device_get(
+            tbl.count_small_full(self.colors)))
 
     def _check_invariants(self):
         """Debug mode (BFT_DEBUG_INVARIANTS=1): verify structural contracts.
@@ -321,9 +364,22 @@ class ColoredDBG:
         if not (keys[n:] == 0xFFFFFFFF).all():
             raise AssertionError("invariant violated: non-sentinel padding")
         cref = np.asarray(jax.device_get(self.table.color_ref))[:n]
-        if n and not ((cref >= 0) & (cref < self._d)).all():
+        dense = (cref & tbl.DENSE_TAG) != 0
+        if n and not (cref >= 0).all():
+            raise AssertionError("invariant violated: negative color_ref")
+        if n and not ((cref[~dense] < self._sd).all()
+                      and ((cref[dense] & ~tbl.DENSE_TAG) < self._dd).all()):
             raise AssertionError(
-                "invariant violated: color_ref out of range [0, d)")
+                "invariant violated: color_ref out of pool range")
+        ids = np.asarray(jax.device_get(self.colors.ids))[: self._sd]
+        live = ids != tbl.EMPTY_ID
+        # EMPTY_ID is INT32_MAX, so ascending row order also proves padding
+        # trails the live ids.
+        if self._sd and not (np.diff(ids.astype(np.int64), axis=1) >= 0).all():
+            raise AssertionError(
+                "invariant violated: small color rows not sorted")
+        if self._sd and not live[:, 0].all():
+            raise AssertionError("invariant violated: empty small class")
 
     def end_genome(self):
         """Close the current genome; run color compression on cadence.
@@ -352,8 +408,12 @@ class ColoredDBG:
         # Must flush: a pending genome's singleton class may have no table
         # reference yet and would be GC'd out from under the pending keys.
         self.flush()
-        self.table, self.colors = tbl.compress_colors(self.table, self.colors)
-        self._d = int(jax.device_get(self.colors.d))
+        self.table, self.colors, stats = tbl.compress_colors(
+            self.table, self.colors)
+        st = jax.device_get(stats)
+        self._sd = int(st["sd"])
+        self._dd = int(st["dd"])
+        self._small_full = int(st["small_full"])
         self._genomes_since_compress = 0
 
     # ------------------------------------------------------------------
@@ -385,9 +445,31 @@ class ColoredDBG:
             valid = valid & maybe
         found, _, _, bitmap = _query_colors(
             self.table.keys, self.table.n, self.table.bucket_starts,
-            self.table.color_ref, self.colors.rows, packed, valid,
+            self.table.color_ref, self.colors, packed, valid,
             use_pallas=self._pallas_eligible())
         return np.asarray(found), np.asarray(bitmap)
+
+    def query_kmers_device(self, packed, valid=None,
+                           ) -> tuple[jnp.ndarray, jnp.ndarray]:
+        """Device-resident variant of :meth:`query_kmers_packed`.
+
+        Returns (found bool[M], bitmap uint32[M, cw]) as jax arrays WITHOUT
+        transferring them to the host — the production path when results
+        feed further device work (set ops, counts, routing).  The
+        transfer-inclusive wrapper costs ~4*cw+1 bytes/query of host
+        bandwidth, which dominates end-to-end query time over slow links.
+        """
+        self.flush()
+        packed = jnp.asarray(packed, dtype=jnp.uint32)
+        if valid is None:
+            valid = jnp.ones(packed.shape[0], dtype=bool)
+        else:
+            valid = jnp.asarray(valid, dtype=bool)
+        found, _, _, bitmap = _query_colors(
+            self.table.keys, self.table.n, self.table.bucket_starts,
+            self.table.color_ref, self.colors, packed, valid,
+            use_pallas=self._pallas_eligible())
+        return found, bitmap
 
     def contains(self, kmer: str) -> bool:
         self.flush()
@@ -406,19 +488,43 @@ class ColoredDBG:
             return None
         return BFTAnnotation(bitmap[0], self.nb_genomes)
 
+    def export_color_rows(self) -> tuple[np.ndarray, np.ndarray]:
+        """Host export: (bitmap rows uint32[d, cw], unified cref int32[n]).
+
+        Classes are unified into one id space [small pool | dense pool] with
+        small classes expanded to bitmaps — the bridge for host-side
+        consumers (merge, snippets) that want a flat dictionary.  O(d*cw)
+        host memory; fine for offline maintenance, not for config-5 hot
+        paths (those use the device pools directly).
+        """
+        from bloomfiltertrie_tpu.models import colors_codec
+        self.flush()
+        sd, dd = self._sd, self._dd
+        cw = self.colors.width
+        ids = np.asarray(jax.device_get(self.colors.ids))[:sd]
+        small_rows = colors_codec.ids_rows_to_bitmaps(ids, cw)
+        dense_rows = np.asarray(jax.device_get(self.colors.rows))[:dd]
+        rows = np.concatenate([small_rows, dense_rows]) if sd + dd else \
+            np.zeros((0, cw), np.uint32)
+        cref = np.asarray(jax.device_get(self.table.color_ref))[: self._n]
+        dense = (cref & tbl.DENSE_TAG) != 0
+        unified = np.where(cref < 0, -1,
+                           np.where(dense, (cref & ~tbl.DENSE_TAG) + sd, cref))
+        return rows, unified.astype(np.int32)
+
     def get_color_csr(self):
         """CSR view of the class dictionary: (offsets int64[d+1], ids int32).
 
         Class c's genome ids are ``ids[offsets[c]:offsets[c+1]]``, sorted —
         the decoded form of the reference's mode-2 lists
         (src/annotation.c:2086 get_id_genomes_from_annot), batch-exported.
+        Class order is the unified [small pool | dense pool] space of
+        :meth:`export_color_rows`.
         """
         from bloomfiltertrie_tpu.models import colors_codec
-        self.flush()
-        d = self._d
-        bits = colors_codec.unpack_rows(
-            np.asarray(jax.device_get(self.colors.rows))[:d],
-            max(self.nb_genomes, 1))
+        rows, _ = self.export_color_rows()
+        d = rows.shape[0]
+        bits = colors_codec.unpack_rows(rows, max(self.nb_genomes, 1))
         cls, gid = np.nonzero(bits)
         counts = np.bincount(cls, minlength=d)
         offsets = np.concatenate([[0], np.cumsum(counts)]).astype(np.int64)
@@ -552,17 +658,40 @@ class ColoredDBG:
         return codec.decode_strings(self.extract_kmers_packed(), self.k)
 
     def iterate_over_kmers(self, fn, chunk: int = 65536):
-        """Call ``fn(kmer_str, annotation, flag)`` for every k-mer."""
+        """Call ``fn(kmer_str, annotation, flag)`` for every k-mer.
+
+        Host-side per-k-mer Python callback loop — parity with the
+        reference's callback iteration (bft.c:1051), NOT a device-scale
+        path: at millions of rows prefer the batched exports
+        (:meth:`extract_kmers_packed`, :meth:`export_color_rows`,
+        :meth:`color_counts`) which do the same work as dense array ops.
+        """
         self.flush()
         for off in range(0, self._n, chunk):
             hi = min(off + chunk, self._n)
             keys = np.asarray(self.table.keys[off:hi])
-            cls = np.asarray(self.table.color_ref[off:hi])
+            cls = self.table.color_ref[off:hi]
             flags = np.asarray(self.table.flags[off:hi])
-            rows = np.asarray(self.colors.rows[np.maximum(cls, 0)])
+            rows = np.asarray(tbl.class_bitmap(self.colors, cls))
             strs = codec.decode_strings(keys, self.k)
             for i, s in enumerate(strs):
                 fn(s, BFTAnnotation(rows[i], self.nb_genomes), int(flags[i]))
+
+    def color_counts(self) -> np.ndarray:
+        """Genome count of every k-mer's class, table order, int32[n] —
+        the batched core/dispensable/singleton predicate input
+        (reference snippets.c:10,35,60)."""
+        self.flush()
+        return np.asarray(jax.device_get(_color_counts_per_kmer(
+            self.table.color_ref, self.colors, self.table.n)))[: self._n]
+
+    def has_genome_mask(self, genome_id: int) -> jnp.ndarray:
+        """Device bool[cap]: row's class contains ``genome_id`` (the color-
+        subgraph eligibility mask, reference BFS_subgraph snippets.c:667)."""
+        self.flush()
+        return _has_genome_per_kmer(self.table.color_ref, self.colors,
+                                    self.table.n,
+                                    jnp.asarray(genome_id, jnp.int32))
 
     def prefix_matching(self, prefix: str) -> np.ndarray:
         """Packed k-mers with the given prefix (reference bft.c:1096).
@@ -647,16 +776,24 @@ class ColoredDBG:
     def save(self, path: str):
         """Checkpoint: keys/refs/flags + the color dictionary in compact
         best-mode encodings (models/colors_codec.py — the reference's
-        annotation modes 0/1/2 applied at the serialization boundary)."""
+        annotation modes 0/1/2 applied at the serialization boundary).
+        Classes serialize in unified [small pool | dense pool] order;
+        color_ref is rebased into that space."""
         from bloomfiltertrie_tpu.models import colors_codec
         self.flush()
-        n, d = self._n, self._d
-        enc = colors_codec.encode_classes(
-            np.asarray(self.colors.rows)[:d], max(self.nb_genomes, 1))
+        n, sd, dd = self._n, self._sd, self._dd
+        ids = np.asarray(jax.device_get(self.colors.ids))[:sd]
+        dense_rows = np.asarray(jax.device_get(self.colors.rows))[:dd]
+        enc = colors_codec.encode_hybrid(ids, dense_rows,
+                                         max(self.nb_genomes, 1))
+        cref = np.asarray(self.table.color_ref)[:n]
+        dense = (cref & tbl.DENSE_TAG) != 0
+        unified = np.where(cref < 0, -1,
+                           np.where(dense, (cref & ~tbl.DENSE_TAG) + sd, cref))
         np.savez_compressed(
             path if path.endswith(".npz") else path + ".npz",
             keys=np.asarray(self.table.keys)[:n],
-            color_ref=np.asarray(self.table.color_ref)[:n],
+            color_ref=unified.astype(np.int32),
             flags=np.asarray(self.table.flags)[:n],
             color_modes=enc["modes"], color_offsets=enc["offsets"],
             color_data=enc["data"],
@@ -664,7 +801,7 @@ class ColoredDBG:
             manifest=np.frombuffer(json.dumps({
                 "config": self.config.to_dict(),
                 "genome_names": self.genome_names,
-                "n": n, "d": d, "cw": self.colors.width,
+                "n": n, "d": sd + dd, "cw": self.colors.width,
             }).encode(), dtype=np.uint8),
         )
 
@@ -679,36 +816,51 @@ class ColoredDBG:
         self.genome_names = list(manifest["genome_names"])
         n, d = manifest["n"], manifest["d"]
         cap = max(_next_pow2(n), config.initial_capacity)
-        dcap = max(_next_pow2(d), config.initial_color_capacity)
         w = config.words
         keys = np.full((cap, w), 0xFFFFFFFF, dtype=np.uint32)
         keys[:n] = z["keys"]
-        cref = np.full((cap,), -1, dtype=np.int32)
-        cref[:n] = z["color_ref"]
         flags = np.zeros((cap,), dtype=np.uint8)
         flags[:n] = z["flags"]
+        from bloomfiltertrie_tpu.models import colors_codec
+        g = max(len(manifest["genome_names"]), 1)
+        s_w = config.color_small_width
+        cw = manifest.get("cw", 1)
         if "rows" in z:  # legacy uncompressed dictionary
-            cw = z["rows"].shape[1] if d else 1
-            rows = np.zeros((dcap, cw), dtype=np.uint32)
-            rows[:d] = z["rows"]
+            rows_all = z["rows"] if d else np.zeros((0, 1), np.uint32)
+            ids_p, rows_p, remap = colors_codec.pools_from_bitmap_rows(
+                rows_all, g, s_w)
+            cw = rows_all.shape[1] if d else 1
         else:
-            from bloomfiltertrie_tpu.models import colors_codec
-            cw = manifest.get("cw", 1)
-            rows = np.zeros((dcap, cw), dtype=np.uint32)
-            rows[:d] = colors_codec.decode_classes(
+            ids_p, rows_p, remap = colors_codec.decode_to_pools(
                 {"modes": z["color_modes"], "offsets": z["color_offsets"],
-                 "data": z["color_data"]},
-                max(len(manifest["genome_names"]), 1), cw)
+                 "data": z["color_data"]}, g, s_w, cw)
+        sd, dd = ids_p.shape[0], rows_p.shape[0]
+        scap = max(_next_pow2(max(sd, 1)), config.initial_color_capacity)
+        dcap = max(_next_pow2(max(dd, 1)),
+                   config.initial_dense_color_capacity)
+        ids_full = np.full((scap, s_w), tbl.EMPTY_ID, dtype=np.int32)
+        ids_full[:sd] = ids_p
+        rows_full = np.zeros((dcap, cw), dtype=np.uint32)
+        rows_full[:dd] = rows_p
+        cref_in = z["color_ref"]
+        cref = np.full((cap,), -1, dtype=np.int32)
+        cref[:n] = np.where(cref_in < 0, -1,
+                            remap[np.minimum(np.maximum(cref_in, 0), d - 1)]
+                            if d else -1)
         keys_d = jnp.asarray(keys)
         n_d = jnp.asarray(n, dtype=jnp.int32)
         self.table = tbl.KmerTable(
             keys=keys_d, color_ref=jnp.asarray(cref),
             flags=jnp.asarray(flags), n=n_d,
             bucket_starts=ss.build_bucket_starts(keys_d, n_d))
-        self.colors = tbl.ColorDict(rows=jnp.asarray(rows),
-                                    d=jnp.asarray(d, dtype=jnp.int32))
+        self.colors = tbl.ColorStore(
+            ids=jnp.asarray(ids_full), rows=jnp.asarray(rows_full),
+            sd=jnp.asarray(sd, dtype=jnp.int32),
+            dd=jnp.asarray(dd, dtype=jnp.int32))
         self.bloom = jnp.asarray(z["bloom"])
-        self._n, self._d = n, d
+        self._n, self._sd, self._dd = n, sd, dd
+        self._small_full = int(np.sum(
+            (ids_p != tbl.EMPTY_ID).sum(axis=1) == s_w)) if sd else 0
         return self
 
     # ------------------------------------------------------------------
@@ -717,18 +869,24 @@ class ColoredDBG:
     def memory_stats(self) -> dict:
         self.flush()
         t, c = self.table, self.colors
+        bytes_colors = c.ids.size * 4 + c.rows.size * 4
         return {
             "nb_kmers": self._n,
             "nb_color_classes": self._d,
+            "nb_small_classes": self._sd,
+            "nb_dense_classes": self._dd,
             "nb_genomes": self.nb_genomes,
             "table_capacity": t.capacity,
+            "color_small_capacity": c.small_capacity,
             "color_capacity": c.capacity,
             "bytes_keys": t.keys.size * 4,
             "bytes_color_ref": t.color_ref.size * 4,
             "bytes_flags": t.flags.size,
-            "bytes_colors": c.rows.size * 4,
+            "bytes_colors_small": c.ids.size * 4,
+            "bytes_colors_dense": c.rows.size * 4,
+            "bytes_colors": bytes_colors,
             "bytes_bloom": self.bloom.size * 4,
             "bytes_total": (t.keys.size * 4 + t.color_ref.size * 4
-                            + t.flags.size + c.rows.size * 4
+                            + t.flags.size + bytes_colors
                             + self.bloom.size * 4),
         }

@@ -10,11 +10,12 @@ decoders src/annotation.c:20-156):
   mode 3  pointer into a global dictionary of color sets
 
 This engine IS mode 3 everywhere in memory: every k-mer's ``color_ref``
-points into one deduplicated dictionary of classes, held as fixed-width
-bitmaps for O(1) device query (models/table.py ColorDict).  The reference's
-modes 0/1/2 reappear HERE, at the serialization boundary: each dictionary
-row is written in its cheapest encoding, so checkpoints keep the reference's
-succinctness without giving up dense device bitmaps at query time.
+points into one deduplicated dictionary of classes, held in the hybrid
+device form of models/table.py ``ColorStore`` — small classes as sorted id
+rows (in-memory mode 2), large classes as fixed-width bitmaps (mode 0).
+The reference's full best-mode selection reappears HERE, at the
+serialization boundary: each dictionary class is written in its cheapest
+of modes 0/1/2, so checkpoints keep the reference's succinctness.
 
 Sizes (G genomes, c colors, r runs), mirroring the reference's accounting:
   mode 0: ceil(G/8) bytes          mode 2: sum(varint(delta ids)) bytes
@@ -173,6 +174,131 @@ def encode_classes(rows: np.ndarray, nb_genomes: int):
     _emit(cls_of_bit, deltas, modes == MODE_IDS)
     _emit(run_cls, rd, modes == MODE_RUNS)
     return {"modes": modes, "offsets": offsets, "data": data}
+
+
+EMPTY_ID = 2**31 - 1  # keep in sync with models/table.py
+
+
+def ids_rows_to_bitmaps(ids: np.ndarray, cw: int) -> np.ndarray:
+    """Small-pool id rows int32[d, S] (EMPTY_ID padded) -> uint32[d, cw]."""
+    d = ids.shape[0]
+    out = np.zeros((d, cw), dtype=np.uint32)
+    cls, slot = np.nonzero(ids != EMPTY_ID)
+    gid = ids[cls, slot]
+    np.bitwise_or.at(out, (cls, gid >> 5), np.uint32(1) << (gid & 31))
+    return out
+
+
+def bitmaps_to_ids_rows(rows: np.ndarray, nb_genomes: int, s_w: int
+                        ) -> np.ndarray:
+    """Bitmap rows (each with <= s_w bits) -> small-pool id rows int32[d, S]."""
+    d = rows.shape[0]
+    out = np.full((d, s_w), EMPTY_ID, dtype=np.int32)
+    bits = unpack_rows(rows, nb_genomes)
+    cls, gid = np.nonzero(bits)
+    # nonzero is row-major, so each class's slots appear in ascending gid
+    # order; slot index = rank within class.
+    counts = bits.sum(axis=1).astype(np.int64)
+    offs = np.concatenate([[0], np.cumsum(counts)])[:-1]
+    slot = np.arange(len(cls)) - offs[cls]
+    out[cls, slot] = gid
+    return out
+
+
+def _concat_encodings(parts: list[dict]) -> dict:
+    """Concatenate per-chunk encode_classes outputs, rebasing offsets."""
+    if not parts:
+        return {"modes": np.zeros(0, np.uint8),
+                "offsets": np.zeros(1, np.int64),
+                "data": np.zeros(0, np.uint8)}
+    modes = np.concatenate([p["modes"] for p in parts])
+    data = np.concatenate([p["data"] for p in parts])
+    offs = [parts[0]["offsets"]]
+    base = parts[0]["offsets"][-1]
+    for p in parts[1:]:
+        offs.append(p["offsets"][1:] + base)
+        base += p["offsets"][-1]
+    return {"modes": modes, "offsets": np.concatenate(offs), "data": data}
+
+
+def encode_hybrid(ids: np.ndarray, dense_rows: np.ndarray, nb_genomes: int,
+                  chunk: int = 1 << 15) -> dict:
+    """Encode a hybrid ColorStore (small id rows + dense bitmap rows).
+
+    Classes are serialized in unified order [small pool | dense pool], each
+    in its cheapest mode (the reference's best-mode pick, annotation.c:416).
+    Chunked so the dense [d, G] bit matrix is never materialized whole —
+    bounded host memory at 1000-genome scale.
+    """
+    cw = max(1, (nb_genomes + 31) // 32)
+    parts = []
+    for off in range(0, ids.shape[0], chunk):
+        parts.append(encode_classes(
+            ids_rows_to_bitmaps(ids[off: off + chunk], cw), nb_genomes))
+    for off in range(0, dense_rows.shape[0], chunk):
+        parts.append(encode_classes(dense_rows[off: off + chunk], nb_genomes))
+    return _concat_encodings(parts)
+
+
+def pools_from_bitmap_rows(rows: np.ndarray, nb_genomes: int, s_w: int):
+    """Split flat bitmap rows into hybrid pools by class size.
+
+    Returns (ids int32[sd, S], dense uint32[dd, cw], remap int32[d]) with
+    ``remap[j]`` the tagged in-memory ref of flat class j.
+    """
+    dense_tag = 1 << 30
+    d = rows.shape[0]
+    counts = unpack_rows(rows, nb_genomes).sum(axis=1) if d else \
+        np.zeros(0, np.int64)
+    small = counts <= s_w
+    ids = bitmaps_to_ids_rows(rows[small], nb_genomes, s_w)
+    dense = rows[~small]
+    remap = np.empty(d, dtype=np.int32)
+    remap[small] = np.arange(int(small.sum()), dtype=np.int32)
+    remap[~small] = (np.arange(int((~small).sum()), dtype=np.int32)
+                     | dense_tag)
+    return ids, dense, remap
+
+
+def decode_to_pools(enc: dict, nb_genomes: int, s_w: int, cw: int,
+                    chunk: int = 1 << 15):
+    """Decode a class encoding into hybrid pools.
+
+    Returns (ids int32[sd, S], rows uint32[dd, cw], remap int32[d]) where
+    ``remap[j]`` is the tagged in-memory class ref of serialized class j
+    (small-pool index, or dense index | DENSE_TAG) — classes route to the
+    pool their size dictates, independent of how they were stored on disk.
+    """
+    dense_tag = 1 << 30
+    d = len(enc["modes"])
+    ids_parts, rows_parts = [], []
+    remap = np.empty(d, dtype=np.int32)
+    sd = dd = 0
+    offsets = enc["offsets"]
+    for off in range(0, d, chunk):
+        hi = min(off + chunk, d)
+        sub = {"modes": enc["modes"][off:hi],
+               "offsets": offsets[off:hi + 1] - offsets[off],
+               "data": enc["data"][offsets[off]:offsets[hi]]}
+        rows = decode_classes(sub, nb_genomes, cw)
+        counts = unpack_rows(rows, nb_genomes).sum(axis=1)
+        small = counts <= s_w
+        n_small = int(small.sum())
+        n_dense = int((~small).sum())
+        if n_small:
+            ids_parts.append(bitmaps_to_ids_rows(rows[small], nb_genomes, s_w))
+        if n_dense:
+            rows_parts.append(rows[~small])
+        remap[off:hi][small] = sd + np.arange(n_small, dtype=np.int32)
+        remap[off:hi][~small] = ((dd + np.arange(n_dense, dtype=np.int32))
+                                 | dense_tag)
+        sd += n_small
+        dd += n_dense
+    ids = (np.concatenate(ids_parts) if ids_parts
+           else np.zeros((0, s_w), np.int32))
+    rows = (np.concatenate(rows_parts) if rows_parts
+            else np.zeros((0, cw), np.uint32))
+    return ids, rows, remap
 
 
 def decode_classes(enc: dict, nb_genomes: int, cw: int) -> np.ndarray:

@@ -47,13 +47,15 @@ def merge_cdbg(a: ColoredDBG, b: ColoredDBG) -> ColoredDBG:
 
     keys_a = a.extract_kmers_packed()
     keys_b = b.extract_kmers_packed()
-    cls_a = np.asarray(jax.device_get(a.table.color_ref))[: a.nb_kmers]
-    cls_b = np.asarray(jax.device_get(b.table.color_ref))[: b.nb_kmers]
-    rows_a = np.asarray(jax.device_get(a.colors.rows))[: a.nb_color_classes]
-    rows_b = np.asarray(jax.device_get(b.colors.rows))[: b.nb_color_classes]
+    # Unified (bitmap-expanded) dictionaries + rebased per-kmer refs.
+    rows_a, cls_a = a.export_color_rows()
+    rows_b, cls_b = b.export_color_rows()
 
     rows_a = np.pad(rows_a, ((0, 0), (0, out_cw - rows_a.shape[1])))
     rows_b_shift = _shift_rows(rows_b, offset, out_cw)
+
+    flags_a = np.asarray(jax.device_get(a.table.flags))[: a.nb_kmers]
+    flags_b = np.asarray(jax.device_get(b.table.flags))[: b.nb_kmers]
 
     # merge key sets (both already sorted; lexsort for the union)
     w = keys_a.shape[1] if keys_a.size else keys_b.shape[1]
@@ -61,11 +63,13 @@ def merge_cdbg(a: ColoredDBG, b: ColoredDBG) -> ColoredDBG:
     src = np.concatenate([np.zeros(len(keys_a), np.int8),
                           np.ones(len(keys_b), np.int8)])
     cls = np.concatenate([cls_a, cls_b])
+    flg = np.concatenate([flags_a, flags_b])
     # np.lexsort: LAST key is primary -> (src least-significant, then words
     # from last to first) so rows sort by key, ties broken a-before-b.
     order = np.lexsort((src,) + tuple(all_keys[:, i]
                                       for i in reversed(range(w))))
-    all_keys, src, cls = all_keys[order], src[order], cls[order]
+    all_keys, src, cls, flg = (all_keys[order], src[order], cls[order],
+                               flg[order])
 
     dup_with_next = np.zeros(len(all_keys), dtype=bool)
     if len(all_keys) > 1:
@@ -91,33 +95,51 @@ def merge_cdbg(a: ColoredDBG, b: ColoredDBG) -> ColoredDBG:
 
     out_keys = all_keys[first]
     out_cls = merged_cls[first].astype(np.int32)
+    # Flags: duplicates keep the max 2-bit state of the two sides (marks
+    # from either input survive the merge; conflicting states resolve to
+    # the higher one).  Tested in tests/test_merge_index.py.
+    merged_flg = flg.copy()
+    merged_flg[dup_idx] = np.maximum(flg[dup_idx], flg[dup_idx + 1])
+    out_flg = merged_flg[first]
     all_rows = np.concatenate([rows_a, rows_b_shift, pair_rows])
 
-    # build the result index
+    # build the result index (hybrid color pools, models/table.py ColorStore)
     cfg = a.config
     out = ColoredDBG(cfg)
     out.genome_names = list(a.genome_names) + list(b.genome_names)
     import jax.numpy as jnp
+    from bloomfiltertrie_tpu.models import colors_codec
     from bloomfiltertrie_tpu.models import table as tbl
     from bloomfiltertrie_tpu.ops import sortedset as ss
 
+    ids_p, dense_p, remap = colors_codec.pools_from_bitmap_rows(
+        all_rows, total_genomes, cfg.color_small_width)
+    sd, dd = ids_p.shape[0], dense_p.shape[0]
     cap = max(_next_pow2(len(out_keys)), cfg.initial_capacity)
-    dcap = max(_next_pow2(len(all_rows) + 1), cfg.initial_color_capacity)
+    scap = max(_next_pow2(max(sd, 1)), cfg.initial_color_capacity)
+    dcap = max(_next_pow2(max(dd, 1)), cfg.initial_dense_color_capacity)
     keys_full = np.full((cap, w), 0xFFFFFFFF, dtype=np.uint32)
     keys_full[: len(out_keys)] = out_keys
     cref_full = np.full((cap,), -1, dtype=np.int32)
-    cref_full[: len(out_cls)] = out_cls
+    cref_full[: len(out_cls)] = remap[out_cls] if len(all_rows) else -1
+    flags_full = np.zeros((cap,), dtype=np.uint8)
+    flags_full[: len(out_flg)] = out_flg
+    ids_full = np.full((scap, cfg.color_small_width), tbl.EMPTY_ID,
+                       dtype=np.int32)
+    ids_full[:sd] = ids_p
     rows_full = np.zeros((dcap, out_cw), dtype=np.uint32)
-    rows_full[: len(all_rows)] = all_rows
+    rows_full[:dd] = dense_p
     keys_d = jnp.asarray(keys_full)
     n_d = jnp.asarray(len(out_keys), dtype=jnp.int32)
     out.table = tbl.KmerTable(
         keys=keys_d, color_ref=jnp.asarray(cref_full),
-        flags=jnp.zeros((cap,), dtype=jnp.uint8), n=n_d,
+        flags=jnp.asarray(flags_full), n=n_d,
         bucket_starts=ss.build_bucket_starts(keys_d, n_d))
-    out.colors = tbl.ColorDict(rows=jnp.asarray(rows_full),
-                               d=jnp.asarray(len(all_rows), dtype=jnp.int32))
+    out.colors = tbl.ColorStore(
+        ids=jnp.asarray(ids_full), rows=jnp.asarray(rows_full),
+        sd=jnp.asarray(sd, dtype=jnp.int32),
+        dd=jnp.asarray(dd, dtype=jnp.int32))
     out._n = len(out_keys)
-    out._d = len(all_rows)
+    out._sd, out._dd = sd, dd
     out.compress_colors()  # gc duplicate/unreferenced classes
     return out

@@ -31,10 +31,7 @@ def _popcount_rows(bitmap: np.ndarray) -> np.ndarray:
 
 def _color_counts(dbg: ColoredDBG) -> np.ndarray:
     """Number of colors of every k-mer in the index, in table order."""
-    n = dbg.nb_kmers
-    cref = np.asarray(jax.device_get(dbg.table.color_ref))[:n]
-    rows = np.asarray(jax.device_get(dbg.colors.rows))
-    return _popcount_rows(rows[np.maximum(cref, 0)])
+    return dbg.color_counts()
 
 
 def extract_core_kmers(dbg: ColoredDBG) -> np.ndarray:
@@ -101,11 +98,7 @@ def bfs(dbg: ColoredDBG, start_kmer: str, genome_id: int | None = None
     succ, pred = _links(dbg)
     eligible = None
     if genome_id is not None:
-        cls = dbg.table.color_ref
-        bit = (dbg.colors.rows[jnp.maximum(cls, 0), genome_id >> 5]
-               >> jnp.uint32(genome_id & 31)) & 1
-        eligible = (bit == 1) & (cls >= 0)
-        eligible = eligible.at[start].set(True)
+        eligible = dbg.has_genome_mask(genome_id).at[start].set(True)
     level = graph_batch.bfs_levels(succ, pred, start, eligible)
     return _order_by_level(dbg, level)
 

@@ -73,27 +73,64 @@ def grow_table(table: KmerTable, new_capacity: int) -> KmerTable:
     )
 
 
+# Class-reference tag: refs with bit 30 set index the dense bitmap pool,
+# untagged refs index the small id-list pool.  (Caps each pool at 2^30
+# classes; INT32_MAX stays the "no class / masked" sentinel — always test
+# liveness before the tag, since INT32_MAX has bit 30 set too.)
+DENSE_TAG = 1 << 30
+EMPTY_ID = 2**31 - 1  # empty slot sentinel in small-pool id rows
+
+
 @jax.tree_util.register_dataclass
 @dataclasses.dataclass
-class ColorDict:
-    """Dictionary of color classes: one genome-presence bitmap row per class.
+class ColorStore:
+    """Hybrid dictionary of color classes: small id-lists + dense bitmaps.
 
     This is the TPU redesign of the reference's annotation engine
-    (src/annotation.c): instead of four per-k-mer byte encodings picked
-    greedily (``compute_best_mode`` annotation.c:416) plus a global mode-3
-    dictionary, *every* k-mer holds a pointer (color_ref) into this dictionary
-    — i.e. mode 3 is the only mode, and rows are fixed-width bitmaps (mode 0).
-    Per-genome insertion appends `old | {g}` rows without deduplication (the
-    greedy-local phase); :func:`compress_colors` dedups rows globally — the
-    analogue of the reference's JudySL color compression
-    (``compress_annotations_disk`` src/file_io.c:3-76, ``sort_annotations3``
-    src/annotation.c:1396) without the disk round trip.  Frequency ordering of
-    the reference dictionary only shortened its varint pointers; with fixed
-    int32 refs it is irrelevant and skipped.
+    (src/annotation.c): every k-mer holds a pointer (color_ref) into one
+    deduplicated dictionary (the reference's mode 3, ``compute_best_mode``
+    src/annotation.c:416), and the dictionary itself keeps each class in the
+    cheaper of two fixed-shape device forms — the in-memory analogue of the
+    reference's per-annotation mode selection:
+
+      * small pool ``ids`` int32[scap, S]: classes with <= S genomes as
+        sorted genome-id rows padded with EMPTY_ID (mode 2, the sorted id
+        list, src/annotation.c:20-156) — S*4 bytes/class regardless of G;
+      * dense pool ``rows`` uint32[dcap, cw]: classes with > S genomes as
+        presence bitmaps (mode 0) — ceil(G/32)*4 bytes/class.
+
+    The split is canonical (a class lives in the small pool iff its size is
+    <= S), so per-pool dedup is global dedup.  At pan-genome scale (G=1000,
+    cw=32) the overwhelming majority of *distinct* classes are small
+    (mutation-private k-mers), so memory is bounded by S words/class instead
+    of G/32 — the property the reference gets from its byte encodings
+    (src/annotation.c:416) and that makes config 5 fit in HBM.
+
+    Per-genome insertion appends ``old | {g}`` classes without dedup (the
+    greedy-local phase); :func:`compress_colors` dedups both pools — the
+    JudySL compression analogue (``compress_annotations_disk``
+    src/file_io.c:3-76, ``sort_annotations3`` src/annotation.c:1396) without
+    the disk round trip.  Frequency ordering of the reference dictionary only
+    shortened its varint pointers; with fixed int32 refs it is irrelevant.
+
+    Invariant: small-pool rows are sorted ascending with EMPTY_ID padding.
+    The insert path preserves it for free — genome ids are assigned in
+    insertion order (src/file_io.c:124-125), so the added id is always the
+    row maximum and lands in the first empty slot.
     """
 
+    ids: jnp.ndarray   # int32[scap, S] sorted genome ids, EMPTY_ID padded
     rows: jnp.ndarray  # uint32[dcap, cw]: class c bit g => genome g present
-    d: jnp.ndarray     # int32 scalar: number of classes
+    sd: jnp.ndarray    # int32 scalar: number of small classes
+    dd: jnp.ndarray    # int32 scalar: number of dense classes
+
+    @property
+    def small_capacity(self) -> int:
+        return self.ids.shape[0]
+
+    @property
+    def small_width(self) -> int:
+        return self.ids.shape[1]
 
     @property
     def capacity(self) -> int:
@@ -104,26 +141,112 @@ class ColorDict:
         return self.rows.shape[1]
 
 
-def empty_colors(capacity: int, width: int = 1) -> ColorDict:
-    return ColorDict(rows=jnp.zeros((capacity, width), dtype=jnp.uint32),
-                     d=jnp.zeros((), dtype=jnp.int32))
+def empty_colors(small_capacity: int, dense_capacity: int,
+                 small_width: int = 8, width: int = 1) -> ColorStore:
+    return ColorStore(
+        ids=jnp.full((small_capacity, small_width), EMPTY_ID, dtype=jnp.int32),
+        rows=jnp.zeros((dense_capacity, width), dtype=jnp.uint32),
+        sd=jnp.zeros((), dtype=jnp.int32),
+        dd=jnp.zeros((), dtype=jnp.int32))
 
 
-def grow_colors(colors: ColorDict, new_capacity: int, new_width: int) -> ColorDict:
-    return ColorDict(
-        rows=jnp.pad(colors.rows, ((0, new_capacity - colors.capacity),
-                                   (0, new_width - colors.width))),
-        d=colors.d,
-    )
+def grow_colors(colors: ColorStore, new_small_capacity: int,
+                new_dense_capacity: int, new_width: int) -> ColorStore:
+    return ColorStore(
+        ids=jnp.pad(colors.ids,
+                    ((0, new_small_capacity - colors.small_capacity), (0, 0)),
+                    constant_values=EMPTY_ID),
+        rows=jnp.pad(colors.rows,
+                     ((0, new_dense_capacity - colors.capacity),
+                      (0, new_width - colors.width))),
+        sd=colors.sd, dd=colors.dd)
 
 
-def append_singleton_class(colors: ColorDict, genome_id) -> tuple[ColorDict, jnp.ndarray]:
-    """Create the class {genome_id}; returns (colors, class_id)."""
+def append_singleton_class(colors: ColorStore, genome_id
+                           ) -> tuple[ColorStore, jnp.ndarray]:
+    """Create the class {genome_id} in the small pool; returns (colors, id)."""
     g = jnp.asarray(genome_id, dtype=jnp.int32)
-    row = jnp.zeros((colors.width,), dtype=jnp.uint32)
-    row = row.at[g >> 5].set(jnp.uint32(1) << (g & 31).astype(jnp.uint32))
-    rows = jax.lax.dynamic_update_slice(colors.rows, row[None, :], (colors.d, 0))
-    return ColorDict(rows=rows, d=colors.d + 1), colors.d
+    row = jnp.full((colors.small_width,), EMPTY_ID, dtype=jnp.int32)
+    row = row.at[0].set(g)
+    ids = jax.lax.dynamic_update_slice(colors.ids, row[None, :],
+                                       (colors.sd, 0))
+    return dataclasses.replace(colors, ids=ids, sd=colors.sd + 1), colors.sd
+
+
+def ids_to_bitmap(ids: jnp.ndarray, cw: int) -> jnp.ndarray:
+    """Expand small-pool id rows int32[m, S] -> uint32 bitmaps [m, cw].
+
+    One scatter-add per id slot (ids are unique per row, so add == or).
+    """
+    m, s_w = ids.shape
+    flat = jnp.zeros((m * cw,), dtype=jnp.uint32)
+    row_base = jnp.arange(m, dtype=jnp.int32) * cw
+    for s in range(s_w):
+        idv = ids[:, s]
+        ok = idv != EMPTY_ID
+        word = jnp.where(ok, row_base + (idv >> 5), m * cw)
+        bit = jnp.where(ok, jnp.uint32(1) << (idv & 31).astype(jnp.uint32),
+                        jnp.uint32(0))
+        flat = flat.at[word].add(bit, mode="drop")
+    return flat.reshape(m, cw)
+
+
+def class_has_genome(colors: ColorStore, cls: jnp.ndarray, g) -> jnp.ndarray:
+    """Per-query genome membership: cls int32[m] (tagged, -1/INT32_MAX =
+    none) -> bool[m].  The batched ``is_genome_present``
+    (src/annotation.c:20)."""
+    g = jnp.asarray(g, dtype=jnp.int32)
+    valid = (cls >= 0) & (cls != INT32_MAX)
+    is_dense = valid & ((cls & DENSE_TAG) != 0)
+    is_small = valid & ~is_dense
+    srow = colors.ids[jnp.where(is_small, cls, 0)]
+    small_has = jnp.any(srow == g, axis=-1)
+    word = colors.rows[jnp.where(is_dense, cls & ~DENSE_TAG, 0),
+                       g >> 5]
+    dense_has = ((word >> (g & 31).astype(jnp.uint32)) & 1) == 1
+    return jnp.where(is_dense, dense_has, small_has & is_small)
+
+
+def class_bitmap(colors: ColorStore, cls: jnp.ndarray) -> jnp.ndarray:
+    """Materialize color bitmaps for tagged class refs: [m] -> uint32[m, cw].
+
+    The batched decoder of the query path (reference
+    ``get_id_genomes_from_annot`` src/annotation.c:2086): dense classes
+    gather their row, small classes expand their id list on the fly.
+    """
+    cw = colors.rows.shape[1]
+    valid = (cls >= 0) & (cls != INT32_MAX)
+    is_dense = valid & ((cls & DENSE_TAG) != 0)
+    is_small = valid & ~is_dense
+    dense_bm = jnp.where(is_dense[:, None],
+                         colors.rows[jnp.where(is_dense, cls & ~DENSE_TAG, 0)],
+                         0)
+    srow = jnp.where(is_small[:, None],
+                     colors.ids[jnp.where(is_small, cls, 0)], EMPTY_ID)
+    return dense_bm | ids_to_bitmap(srow, cw)
+
+
+def class_sizes(colors: ColorStore, cls: jnp.ndarray) -> jnp.ndarray:
+    """Number of genomes in each class: tagged refs [m] -> int32[m]."""
+    valid = (cls >= 0) & (cls != INT32_MAX)
+    is_dense = valid & ((cls & DENSE_TAG) != 0)
+    is_small = valid & ~is_dense
+    srow = colors.ids[jnp.where(is_small, cls, 0)]
+    small_n = jnp.sum((srow != EMPTY_ID).astype(jnp.int32), axis=-1)
+    drow = colors.rows[jnp.where(is_dense, cls & ~DENSE_TAG, 0)]
+    dense_n = jnp.sum(jax.lax.population_count(drow).astype(jnp.int32),
+                      axis=-1)
+    return jnp.where(is_dense, dense_n, jnp.where(is_small, small_n, 0))
+
+
+def count_small_full(colors: ColorStore) -> jnp.ndarray:
+    """Number of live small classes at exactly S genomes (the only classes
+    that can overflow into the dense pool on the next flush) — the host uses
+    this for the dense-pool capacity contract."""
+    scap, s_w = colors.ids.shape
+    live = jnp.arange(scap, dtype=jnp.int32) < colors.sd
+    counts = jnp.sum((colors.ids != EMPTY_ID).astype(jnp.int32), axis=1)
+    return jnp.sum((live & (counts == s_w)).astype(jnp.int32))
 
 
 # ---------------------------------------------------------------------------
@@ -150,27 +273,33 @@ def _probe_main(table: KmerTable, skeys, svalid, use_pallas: bool):
     return found, idx
 
 
-def _color_update(table: KmerTable, colors: ColorDict, found, idx,
-                  genome_id) -> tuple[jnp.ndarray, ColorDict, jnp.ndarray]:
+def _color_update(table: KmerTable, colors: ColorStore, found, idx,
+                  genome_id):
     """Add genome g to the color class of every found k-mer.
 
     The batched ``modify_annotations`` (src/retrieveAnnotation.c:232): rows
     whose class already contains g are no-ops (src/retrieveAnnotation.c:278);
-    the distinct affected classes each spawn one new row ``old | {g}``.
-    Returns (color_ref, colors, n_new_cls).  The affected->new-class mapping
-    rides the class sort as a carried payload (no second searchsorted).
+    the distinct affected classes each spawn one new class ``old | {g}`` —
+    in the small pool while the result still fits S ids, in the dense pool
+    when a small class overflows (the in-memory mode transition of
+    ``modify_mode_annotation`` src/annotation.c:658) or the parent is dense.
+    Returns (color_ref, colors, n_new_small, n_new_dense).  The
+    affected->new-class mapping rides the class sort as a carried payload
+    (no second searchsorted).
     """
     m = found.shape[0]
-    g_word = (genome_id >> 5).astype(jnp.int32)
-    g_bit = (genome_id & 31).astype(jnp.uint32)
+    s_w = colors.small_width
+    cw = colors.width
+    g = jnp.asarray(genome_id, dtype=jnp.int32)
+    g_word = (g >> 5).astype(jnp.int32)
+    g_bit = (g & 31).astype(jnp.uint32)
 
     cls = jnp.where(found, table.color_ref[idx], INT32_MAX)
-    safe_cls = jnp.where(found, cls, 0)
-    has_g = (colors.rows[safe_cls, g_word] >> g_bit) & 1
-    affected = found & (has_g == 0)
+    has_g = class_has_genome(colors, cls, g)
+    affected = found & ~has_g
 
     # Unique affected classes; each batch row carries its position so the
-    # new class id (d + run rank) can be scattered straight back.
+    # new class id can be scattered straight back.
     aff = jnp.where(affected, cls, INT32_MAX)
     pos0 = jnp.arange(m, dtype=jnp.int32)
     aff_sorted, src = jax.lax.sort((aff, pos0), num_keys=1)
@@ -178,34 +307,64 @@ def _color_update(table: KmerTable, colors: ColorDict, found, idx,
                             aff_sorted[1:] != aff_sorted[:-1]])
     keep = keep & (aff_sorted != INT32_MAX)
     run = jnp.cumsum(keep.astype(jnp.int32)) - 1   # unique-class rank per row
-    n_new_cls = jnp.sum(keep.astype(jnp.int32))
     live = aff_sorted != INT32_MAX
 
-    # One new row (old | {g}) per distinct affected class, at d..d+n_new-1.
-    u_cls = jnp.full((m,), INT32_MAX, dtype=jnp.int32).at[
-        jnp.where(keep, run, m)].set(aff_sorted, mode="drop")
-    src_rows = colors.rows[jnp.where(u_cls == INT32_MAX, 0, u_cls)]
-    gbit_col = (jnp.uint32(1) << g_bit) * (
-        jnp.arange(colors.width, dtype=jnp.int32)[None, :] == g_word
-    ).astype(jnp.uint32)
-    new_rows = src_rows | gbit_col
-    dest = jnp.where(u_cls != INT32_MAX,
-                     colors.d + jnp.arange(m, dtype=jnp.int32),
-                     colors.capacity)
+    # Classify each kept class: dense parent, small parent that overflows
+    # (count == S), or small parent with room.
+    k_dense = keep & ((aff_sorted & DENSE_TAG) != 0)
+    k_small = keep & ~k_dense
+    base_small = colors.ids[jnp.where(k_small, aff_sorted, 0)]   # [m, S]
+    scount = jnp.sum((base_small != EMPTY_ID).astype(jnp.int32), axis=1)
+    overflow = k_small & (scount >= s_w)
+    new_small = k_small & (scount < s_w)
+    new_dense = k_dense | overflow
+    r_small = jnp.cumsum(new_small.astype(jnp.int32)) - 1
+    r_dense = jnp.cumsum(new_dense.astype(jnp.int32)) - 1
+    n_new_small = jnp.sum(new_small.astype(jnp.int32))
+    n_new_dense = jnp.sum(new_dense.astype(jnp.int32))
+
+    # New small rows: g appended in the first empty slot.  Sorted-row
+    # invariant holds because g is the current (maximum) genome id.
+    iota_s = jnp.arange(s_w, dtype=jnp.int32)
+    appended = jnp.where(iota_s[None, :] == scount[:, None], g, base_small)
+    dest_small = jnp.where(new_small, colors.sd + r_small,
+                           colors.small_capacity)
     # Per-column scatters: a 2-D row scatter is ~9x slower on TPU than one
     # 1-D scatter per column (measured 670 ms vs 73 ms at 8M rows).
-    rows = colors.rows
-    for c in range(colors.width):
-        rows = rows.at[dest, c].set(new_rows[:, c], mode="drop")
+    ids_out = colors.ids
+    for c in range(s_w):
+        ids_out = ids_out.at[dest_small, c].set(appended[:, c], mode="drop")
 
-    # Remap each affected k-mer row to its class's new id via the carried
-    # source position: sorted slot -> (src row -> table row idx[src]).
+    # New dense rows: dense parent | {g}, or overflowing small row expanded.
+    parent_dense = colors.rows[jnp.where(k_dense, aff_sorted & ~DENSE_TAG, 0)]
+    gbit_col = (jnp.uint32(1) << g_bit) * (
+        jnp.arange(cw, dtype=jnp.int32)[None, :] == g_word
+    ).astype(jnp.uint32)
+    overflow_bm = ids_to_bitmap(
+        jnp.where(overflow[:, None], base_small, EMPTY_ID), cw)
+    dense_new = (jnp.where(k_dense[:, None], parent_dense, overflow_bm)
+                 | gbit_col)
+    dest_dense = jnp.where(new_dense, colors.dd + r_dense, colors.capacity)
+    rows_out = colors.rows
+    for c in range(cw):
+        rows_out = rows_out.at[dest_dense, c].set(dense_new[:, c], mode="drop")
+
+    # New (tagged) class id per kept slot; every live row remaps through its
+    # run head, then through the carried source position to its table row.
+    new_id = jnp.where(new_small, colors.sd + r_small,
+                       (colors.dd + r_dense) | DENSE_TAG)
+    slot_id = jnp.full((m,), INT32_MAX, dtype=jnp.int32).at[
+        jnp.where(keep, run, m)].set(new_id, mode="drop")
+    per_row_id = slot_id[jnp.clip(run, 0, m - 1)]
     table_row = jnp.where(live, idx[src], table.capacity)
-    color_ref = table.color_ref.at[table_row].set(colors.d + run, mode="drop")
-    return color_ref, ColorDict(rows=rows, d=colors.d + n_new_cls), n_new_cls
+    color_ref = table.color_ref.at[table_row].set(per_row_id, mode="drop")
+    colors = ColorStore(ids=ids_out, rows=rows_out,
+                        sd=colors.sd + n_new_small,
+                        dd=colors.dd + n_new_dense)
+    return color_ref, colors, n_new_small, n_new_dense
 
 
-def insert_sorted_impl(table: KmerTable, colors: ColorDict,
+def insert_sorted_impl(table: KmerTable, colors: ColorStore,
                        bloom_bits: jnp.ndarray,
                        skeys: jnp.ndarray, svalid: jnp.ndarray,
                        skeep: jnp.ndarray,
@@ -227,9 +386,10 @@ def insert_sorted_impl(table: KmerTable, colors: ColorDict,
 
     Caller contract (host wrapper enforces):
       * table has >= sum(skeep) free rows;
-      * colors has >= min(M, d) free rows (every distinct affected class
-        spawns at most one new row per flush);
-      * ``singleton_cls`` is the class id of {genome_id}.
+      * small pool has >= sd free rows, dense pool >= dd + small_full free
+        rows (every distinct affected class spawns at most one child class
+        per flush; only size-S small classes can overflow into dense);
+      * ``singleton_cls`` is the (small-pool) class id of {genome_id}.
 
     Returns (table, colors, bloom_bits, stats) with stats = dict of scalars.
     """
@@ -241,7 +401,7 @@ def insert_sorted_impl(table: KmerTable, colors: ColorDict,
     found = found & svalid
 
     # 2. Color update for found k-mers whose class lacks genome g.
-    color_ref, colors, n_new_cls = _color_update(
+    color_ref, colors, n_new_small, n_new_dense = _color_update(
         table, colors, found & skeep, idx, genome_id)
 
     # 3. Merge new k-mers (valid, first-occurrence, not found) into the
@@ -270,11 +430,14 @@ def insert_sorted_impl(table: KmerTable, colors: ColorDict,
                       bucket_starts=merged_starts)
     stats = {"unique": jnp.sum(skeep.astype(jnp.int32)),
              "new": jnp.sum(is_new.astype(jnp.int32)),
-             "colored": n_new_cls, "n": merged_n, "d": colors.d}
+             "colored": n_new_small + n_new_dense,
+             "colored_small": n_new_small, "colored_dense": n_new_dense,
+             "n": merged_n, "sd": colors.sd, "dd": colors.dd,
+             "small_full": count_small_full(colors)}
     return table, colors, bloom_bits, stats
 
 
-def insert_batch_impl(table: KmerTable, colors: ColorDict, bloom_bits: jnp.ndarray,
+def insert_batch_impl(table: KmerTable, colors: ColorStore, bloom_bits: jnp.ndarray,
                       batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
                       genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
                       log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
@@ -354,15 +517,17 @@ def buffer_batch_impl(runs: PendingRuns, batch_keys: jnp.ndarray,
 buffer_batch = functools.partial(jax.jit, donate_argnums=(0,))(buffer_batch_impl)
 
 
-def flush_genome_impl(table: KmerTable, colors: ColorDict, runs: PendingRuns,
+def flush_genome_impl(table: KmerTable, colors: ColorStore, runs: PendingRuns,
                       bloom_bits: jnp.ndarray, genome_id: jnp.ndarray,
                       singleton_cls: jnp.ndarray, log2_bloom: int,
                       seed1, seed2, use_pallas: bool = False,
                       use_bloom: bool = True):
     """Flush the whole run buffer into the table: ONE sorted-batch insert.
 
-    Caller contract: table capacity >= n + total pending; colors capacity
-    >= 2*d (every existing class can spawn at most one ``old | {g}`` row).
+    Caller contract: table capacity >= n + total pending; small pool has
+    >= sd free rows (every small class can spawn one ``old | {g}`` child);
+    dense pool has >= dd + small_full free rows (every dense class can spawn
+    a dense child, every size-S small class can overflow into dense).
     Returns (table, colors, bloom_bits, empty runs, stats).
     """
     r_n, m_run, w = runs.keys.shape
@@ -383,50 +548,73 @@ flush_genome = functools.partial(
 )(flush_genome_impl)
 
 
-@jax.jit
-def compress_colors(table: KmerTable, colors: ColorDict):
-    """Global color-class dedup + garbage collection.
+def _dedup_pool(mat: jnp.ndarray, live: jnp.ndarray, pad_value):
+    """Sort-unique the live rows of one pool.
 
-    Reference analogue: end-of-build annotation compression
-    (``compress_annotations_disk`` src/file_io.c:3-76) which dedups all
-    annotations through a JudySL map and rewrites them as dictionary pointers.
-    Here: mark referenced classes, sort rows (unreferenced -> sentinel),
-    unique, and remap every color_ref through the old->new permutation.
+    Returns (new_mat, remap int32[cap] old->new (-1 dead), d_new).  A leading
+    "dead" sort key keeps dead rows strictly after live rows so a live
+    all-sentinel row can never be swallowed by the dead-row run.
     """
-    dcap, cw = colors.rows.shape
-
-    row_live = (table.color_ref >= 0) & (
-        jnp.arange(table.capacity, dtype=jnp.int32) < table.n)
-    live = jnp.zeros((dcap,), dtype=bool).at[
-        jnp.where(row_live, table.color_ref, dcap)
-    ].set(True, mode="drop")
-
-    # Leading "dead" sort key keeps dead rows strictly after live rows so a
-    # live all-ones bitmap can never be swallowed by the dead-row run.
+    cap, ncol = mat.shape
     dead = (~live).astype(jnp.uint32)
-    old_id = jnp.arange(dcap, dtype=jnp.int32)
-    operands = (dead,) + tuple(colors.rows[:, i] for i in range(cw)) + (old_id,)
-    out = jax.lax.sort(operands, num_keys=cw + 1)
+    old_id = jnp.arange(cap, dtype=jnp.int32)
+    operands = (dead,) + tuple(mat[:, i] for i in range(ncol)) + (old_id,)
+    out = jax.lax.sort(operands, num_keys=ncol + 1)
     dead_sorted = out[0]
-    skeys = jnp.stack(out[1:1 + cw], axis=-1)
-    sid = out[1 + cw]
+    skeys = jnp.stack(out[1:1 + ncol], axis=-1)
+    sid = out[1 + ncol]
     boundary = jnp.concatenate([
         jnp.ones((1,), dtype=bool),
-        (~ss.mw_equal(skeys[1:], skeys[:-1]))
+        jnp.any(skeys[1:] != skeys[:-1], axis=-1)
         | (dead_sorted[1:] != dead_sorted[:-1]),
     ])
     keep = boundary & (dead_sorted == 0)
     # New id of each *kept* row; duplicates inherit the id of their run head.
     run_head = jnp.cumsum(keep.astype(jnp.int32)) - 1
     d_new = jnp.sum(keep.astype(jnp.int32))
+    new_mat = jnp.full_like(mat, pad_value).at[
+        jnp.where(keep, run_head, cap)].set(skeys, mode="drop")
+    remap = jnp.full((cap + 1,), -1, dtype=jnp.int32).at[
+        jnp.where(dead_sorted == 0, sid, cap)].set(run_head, mode="drop")
+    return new_mat, remap[:cap], d_new
 
-    new_rows = jnp.zeros_like(colors.rows).at[
-        jnp.where(keep, run_head, dcap)].set(skeys, mode="drop")
-    # remap[old_id] = new id (only for live rows)
-    remap = jnp.full((dcap + 1,), -1, dtype=jnp.int32).at[
-        jnp.where(dead_sorted == 0, sid, dcap)].set(run_head, mode="drop")
-    cref = jnp.where(table.color_ref >= 0,
-                     remap[jnp.minimum(table.color_ref, dcap)],
-                     -1)
-    table = dataclasses.replace(table, color_ref=cref)
-    return table, ColorDict(rows=new_rows, d=d_new)
+
+@jax.jit
+def compress_colors(table: KmerTable, colors: ColorStore):
+    """Global color-class dedup + garbage collection, per pool.
+
+    Reference analogue: end-of-build annotation compression
+    (``compress_annotations_disk`` src/file_io.c:3-76) which dedups all
+    annotations through a JudySL map and rewrites them as dictionary
+    pointers.  Here: mark referenced classes per pool, sort rows
+    (unreferenced -> sentinel), unique, and remap every color_ref through
+    the old->new permutations.  The small/dense split is canonical (small
+    iff size <= S), so per-pool dedup is global dedup.
+    """
+    scap = colors.small_capacity
+    dcap = colors.capacity
+
+    cref = table.color_ref
+    row_live = (cref >= 0) & (
+        jnp.arange(table.capacity, dtype=jnp.int32) < table.n)
+    ref_dense = row_live & ((cref & DENSE_TAG) != 0)
+    ref_small = row_live & ~ref_dense
+    live_small = jnp.zeros((scap,), dtype=bool).at[
+        jnp.where(ref_small, cref, scap)].set(True, mode="drop")
+    live_dense = jnp.zeros((dcap,), dtype=bool).at[
+        jnp.where(ref_dense, cref & ~DENSE_TAG, dcap)].set(True, mode="drop")
+
+    new_ids, remap_s, sd_new = _dedup_pool(colors.ids, live_small,
+                                           jnp.int32(EMPTY_ID))
+    new_rows, remap_d, dd_new = _dedup_pool(colors.rows, live_dense,
+                                            jnp.uint32(0))
+
+    cref_new = jnp.where(
+        ref_dense,
+        remap_d[jnp.where(ref_dense, cref & ~DENSE_TAG, 0)] | DENSE_TAG,
+        jnp.where(ref_small, remap_s[jnp.where(ref_small, cref, 0)], -1))
+    table = dataclasses.replace(table, color_ref=cref_new)
+    colors = ColorStore(ids=new_ids, rows=new_rows, sd=sd_new, dd=dd_new)
+    stats = {"sd": sd_new, "dd": dd_new,
+             "small_full": count_small_full(colors)}
+    return table, colors, stats

@@ -117,13 +117,13 @@ def _route_buffer_body(run_keys, run_valid, run_used, drop_acc, batch, valid,
     return rk[None], rv[None], (used + 1)[None], (drop_acc[0] + dtot)[None]
 
 
-def _flush_body(keys, cref, flags, n, starts, rows, d, bloom_bits,
+def _flush_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
                 run_keys, run_valid, run_used, drop_acc, gid, singleton,
                 seeds, *, log2_bloom: int, use_pallas: bool,
                 use_bloom: bool = True):
     table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
                           n=n[0], bucket_starts=starts[0])
-    colors = tbl.ColorDict(rows=rows[0], d=d[0])
+    colors = tbl.ColorStore(ids=ids[0], rows=rows[0], sd=sd[0], dd=dd[0])
     runs = tbl.PendingRuns(keys=run_keys[0], valid=run_valid[0],
                            used=run_used[0])
     table, colors, bloom, runs, stats = tbl.flush_genome_impl(
@@ -135,17 +135,23 @@ def _flush_body(keys, cref, flags, n, starts, rows, d, bloom_bits,
         "colored": jax.lax.psum(stats["colored"], AXIS),
         "dropped": drop_acc[0],
     }
+    per_shard = {"colored_small": stats["colored_small"][None],
+                 "colored_dense": stats["colored_dense"][None],
+                 "small_full": stats["small_full"][None]}
     return (table.keys[None], table.color_ref[None], table.flags[None],
-            table.n[None], table.bucket_starts[None], colors.rows[None],
-            colors.d[None], bloom[None], runs.keys[None], runs.valid[None],
-            runs.used[None], jnp.zeros_like(drop_acc), totals)
+            table.n[None], table.bucket_starts[None], colors.ids[None],
+            colors.sd[None], colors.rows[None], colors.dd[None],
+            bloom[None], runs.keys[None], runs.valid[None],
+            runs.used[None], jnp.zeros_like(drop_acc), totals, per_shard)
 
 
-def _query_body(keys, cref, rows, n, starts, queries, valid):
+def _query_body(keys, cref, ids, rows, n, starts, queries, valid):
     found, idx = ss.lookup(keys[0], n[0], queries, starts[0])
     found = found & valid
     cls = jnp.where(found, cref[0][idx], -1)
-    bitmap = jnp.where(found[:, None], rows[0][jnp.maximum(cls, 0)], 0)
+    colors = tbl.ColorStore(ids=ids[0], rows=rows[0],
+                            sd=jnp.int32(0), dd=jnp.int32(0))
+    bitmap = tbl.class_bitmap(colors, cls)
     found = jax.lax.psum(found.astype(jnp.int32), AXIS) > 0
     bitmap = jax.lax.psum(bitmap, AXIS)
     return found, bitmap
@@ -186,12 +192,13 @@ def _prefix_range_body(keys, n, lo_key, hi_key):
     return lo[None], hi[None]
 
 
-def _compress_body(keys, cref, flags, n, starts, rows, d):
+def _compress_body(keys, cref, flags, n, starts, ids, sd, rows, dd):
     table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
                           n=n[0], bucket_starts=starts[0])
-    colors = tbl.ColorDict(rows=rows[0], d=d[0])
-    table, colors = tbl.compress_colors(table, colors)
-    return (table.color_ref[None], colors.rows[None], colors.d[None])
+    colors = tbl.ColorStore(ids=ids[0], rows=rows[0], sd=sd[0], dd=dd[0])
+    table, colors, stats = tbl.compress_colors(table, colors)
+    return (table.color_ref[None], colors.ids[None], colors.sd[None],
+            colors.rows[None], colors.dd[None], stats["small_full"][None])
 
 
 def _rebuild_bloom_body(keys, n, seeds, *, log2_bloom: int):
@@ -201,10 +208,11 @@ def _rebuild_bloom_body(keys, n, seeds, *, log2_bloom: int):
                          seeds[0], seeds[1])[None]
 
 
-def _append_singletons(rows, d, gid):
-    colors = tbl.ColorDict(rows=rows[0], d=d[0])
+def _append_singletons(ids, sd, gid):
+    colors = tbl.ColorStore(ids=ids[0], rows=jnp.zeros((1, 1), jnp.uint32),
+                            sd=sd[0], dd=jnp.int32(0))
     colors, cls = tbl.append_singleton_class(colors, gid)
-    return colors.rows[None], colors.d[None], cls[None]
+    return colors.ids[None], colors.sd[None], cls[None]
 
 
 # ---------------------------------------------------------------------------
@@ -232,19 +240,26 @@ class ShardedCDBG:
         self.genome_names: list[str] = []
         w = self.config.words
         cap = self.config.initial_capacity
-        dcap = self.config.initial_color_capacity
 
         self._shardit = lambda x: jax.device_put(
             x, jax.sharding.NamedSharding(self.mesh, P(AXIS)))
         shardit = self._shardit
+
+        scap = self.config.initial_color_capacity
+        s_w = self.config.color_small_width
+        dcap = self.config.initial_dense_color_capacity
 
         self.keys = shardit(np.full((n_shards, cap, w), 0xFFFFFFFF, np.uint32))
         self.color_ref = shardit(np.full((n_shards, cap), -1, np.int32))
         self.flags = shardit(np.zeros((n_shards, cap), np.uint8))
         self.n = shardit(np.zeros((n_shards,), np.int32))
         self.starts = shardit(np.zeros((n_shards, ss.NB_BUCKETS + 1), np.int32))
+        # Hybrid color pools (models/table.py ColorStore), per shard.
+        self.ids = shardit(np.full((n_shards, scap, s_w), tbl.EMPTY_ID,
+                                   np.int32))
+        self.sd = shardit(np.zeros((n_shards,), np.int32))
         self.rows = shardit(np.zeros((n_shards, dcap, 1), np.uint32))
-        self.d = shardit(np.zeros((n_shards,), np.int32))
+        self.dd = shardit(np.zeros((n_shards,), np.int32))
         self.bloom = shardit(np.zeros(
             (n_shards, 1 << (self.config.bloom_log2_bits - 5)), np.uint32))
         # Run buffers (created lazily once the route capacity is known).
@@ -256,7 +271,9 @@ class ShardedCDBG:
         self._pending_used = 0
         self._since_flush: list = []   # (chunk, vchunk) since last flush
         self._n_max = 0          # max per-shard count (host mirror)
-        self._d_max = 0
+        self._sd_max = 0         # max per-shard small classes
+        self._dd_max = 0         # max per-shard dense classes
+        self._small_full_max = 0  # max per-shard size-S small classes
         self._singletons = None  # per-shard class id of {current genome}
         self.total_dropped = 0
         self._fn_cache: dict = {}
@@ -267,11 +284,17 @@ class ShardedCDBG:
         cap = self.keys.shape[1]
         return self.use_pallas and cap % pk.TILE == 0 and cap >= pk.TILE
 
-    def _cached(self, kind: str, key, builder):
+    def _cached(self, kind: str, key, builder, donate: bool = False,
+                out_shardings=None):
         full_key = (kind,) + tuple(key)
         fn = self._fn_cache.get(full_key)
         if fn is None:
-            fn = jax.jit(builder())
+            kwargs = {}
+            if donate:
+                kwargs["donate_argnums"] = (0,)
+            if out_shardings is not None:
+                kwargs["out_shardings"] = out_shardings
+            fn = jax.jit(builder(), **kwargs)
             self._fn_cache[full_key] = fn
         return fn
 
@@ -295,15 +318,30 @@ class ShardedCDBG:
 
     @property
     def nb_color_classes(self) -> int:
-        return int(np.asarray(jax.device_get(self.d)).sum())
+        return int(np.asarray(jax.device_get(self.sd)).sum()
+                   + np.asarray(jax.device_get(self.dd)).sum())
 
     # -- capacity --------------------------------------------------------
     def _pad_axis(self, arr, new_cap, axis, fill):
+        """Grow one axis ON DEVICE, preserving the shard-axis sharding.
+
+        The pad runs as a jitted donate-input program with an explicit
+        sharded out_sharding — no host round trip of table-sized arrays
+        (at 16M rows x 8 shards the old device_get -> np.pad -> device_put
+        path moved multi-GB through the host per growth).
+        """
         pad = [(0, 0)] * arr.ndim
         pad[axis] = (0, new_cap - arr.shape[axis])
-        host = np.asarray(jax.device_get(arr))
-        host = np.pad(host, pad, constant_values=fill)
-        return self._shardit(host)
+        fill = arr.dtype.type(fill)  # e.g. 0xFFFFFFFF must parse as uint32
+        # No donation: the grown output can never reuse the smaller input
+        # buffer, so donating only produces "unusable donated buffer"
+        # warnings; the old array is freed when the attribute rebinds.
+        fn = self._cached(
+            "pad", (arr.shape, arr.dtype.name, new_cap, axis, int(fill)),
+            lambda: functools.partial(jnp.pad, pad_width=pad,
+                                      constant_values=fill),
+            out_shardings=jax.sharding.NamedSharding(self.mesh, P(AXIS)))
+        return fn(arr)
 
     def _ensure_capacity(self, extra_per_shard: int):
         cap = self.keys.shape[1]
@@ -314,32 +352,37 @@ class ShardedCDBG:
             self.color_ref = self._pad_axis(self.color_ref, new_cap, 1, -1)
             self.flags = self._pad_axis(self.flags, new_cap, 1, 0)
 
-    def _ensure_colors(self, extra_per_shard: int):
+    def _ensure_colors(self, small_extra: int, dense_extra: int):
+        scap = self.ids.shape[1]
         dcap = self.rows.shape[1]
         width = max(1, _next_pow2(math.ceil(max(self.nb_genomes, 1) / 32)))
-        need = self._d_max + extra_per_shard
-        if need > dcap or width > self.rows.shape[2]:
-            host = np.asarray(jax.device_get(self.rows))
-            host = np.pad(host, ((0, 0),
-                                 (0, max(_next_pow2(need), dcap) - dcap),
-                                 (0, max(width, host.shape[2]) - host.shape[2])))
-            self.rows = self._shardit(host)
+        need_s = self._sd_max + small_extra
+        need_d = self._dd_max + dense_extra
+        if need_s > scap:
+            self.ids = self._pad_axis(self.ids, _next_pow2(need_s), 1,
+                                      tbl.EMPTY_ID)
+        if need_d > dcap:
+            self.rows = self._pad_axis(self.rows,
+                                       max(_next_pow2(max(need_d, 1)), dcap),
+                                       1, 0)
+        if width > self.rows.shape[2]:
+            self.rows = self._pad_axis(self.rows, width, 2, 0)
 
     # -- insertion -------------------------------------------------------
     def start_genome(self, name: str) -> int:
         gid = len(self.genome_names)
         self.genome_names.append(name)
-        self._ensure_colors(1)
+        self._ensure_colors(1, 0)
         fn = self._cached(
-            "singleton", (self.rows.shape,),
+            "singleton", (self.ids.shape,),
             lambda: jax.shard_map(
                 _append_singletons, mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS), P(AXIS), P()),
                 out_specs=(P(AXIS), P(AXIS), P(AXIS))))
-        self.rows, self.d, singles = fn(
-            self.rows, self.d, jnp.asarray(gid, dtype=jnp.int32))
+        self.ids, self.sd, singles = fn(
+            self.ids, self.sd, jnp.asarray(gid, dtype=jnp.int32))
         self._singletons = singles
-        self._d_max += 1
+        self._sd_max += 1
         return gid
 
     def _ensure_runs(self, bsz: int):
@@ -413,33 +456,41 @@ class ShardedCDBG:
             return
         r, m_loc = self.run_keys.shape[1], self.run_keys.shape[2]
         self._ensure_capacity(r * m_loc)
-        self._ensure_colors(self._d_max + 1)
+        # Hybrid color contract (models/table.py flush_genome_impl): every
+        # small class can spawn a small child, every dense class a dense
+        # child, every size-S small class can overflow into dense.
+        self._ensure_colors(self._sd_max + 1,
+                            self._dd_max + self._small_full_max)
         gid = len(self.genome_names) - 1
         seeds = jnp.asarray(
             [self.config.bloom_seed1, self.config.bloom_seed2],
             dtype=jnp.uint32)
         fn = self._cached(
-            "flush", (self.keys.shape, self.rows.shape, self.run_keys.shape,
-                      self._pallas_eligible()),
+            "flush", (self.keys.shape, self.ids.shape, self.rows.shape,
+                      self.run_keys.shape, self._pallas_eligible()),
             lambda: jax.shard_map(
                 functools.partial(
                     _flush_body, log2_bloom=self.config.bloom_log2_bits,
                     use_pallas=self._pallas_eligible(),
                     use_bloom=self.config.bloom_enabled),
                 mesh=self.mesh, check_vma=False,
-                in_specs=(P(AXIS),) * 12 + (P(), P(AXIS), P()),
-                out_specs=((P(AXIS),) * 11 + (P(AXIS), P()))))
+                in_specs=(P(AXIS),) * 14 + (P(), P(AXIS), P()),
+                out_specs=((P(AXIS),) * 13 + (P(AXIS), P(), P(AXIS)))))
         (self.keys, self.color_ref, self.flags, self.n, self.starts,
-         self.rows, self.d, self.bloom, self.run_keys, self.run_valid,
-         self.run_used, self.drop_acc, totals) = fn(
+         self.ids, self.sd, self.rows, self.dd, self.bloom, self.run_keys,
+         self.run_valid, self.run_used, self.drop_acc, totals,
+         per_shard) = fn(
             self.keys, self.color_ref, self.flags, self.n, self.starts,
-            self.rows, self.d, self.bloom, self.run_keys, self.run_valid,
-            self.run_used, self.drop_acc,
+            self.ids, self.sd, self.rows, self.dd, self.bloom,
+            self.run_keys, self.run_valid, self.run_used, self.drop_acc,
             jnp.asarray(gid, dtype=jnp.int32), self._singletons, seeds)
         self._pending_used = 0
         t = jax.device_get(totals)
+        ps = jax.device_get(per_shard)
         self._n_max = int(np.asarray(jax.device_get(self.n)).max())
-        self._d_max = int(np.asarray(jax.device_get(self.d)).max())
+        self._sd_max = int(np.asarray(jax.device_get(self.sd)).max())
+        self._dd_max = int(np.asarray(jax.device_get(self.dd)).max())
+        self._small_full_max = int(np.asarray(ps["small_full"]).max())
         dropped = int(np.asarray(t["dropped"]).max())
         retry = self._since_flush
         self._since_flush = []
@@ -470,15 +521,19 @@ class ShardedCDBG:
         independent: a k-mer lives on exactly one shard)."""
         self.flush()
         fn = self._cached(
-            "compress", (self.keys.shape, self.rows.shape),
+            "compress", (self.keys.shape, self.ids.shape, self.rows.shape),
             lambda: jax.shard_map(
                 _compress_body, mesh=self.mesh, check_vma=False,
-                in_specs=(P(AXIS),) * 7,
-                out_specs=(P(AXIS), P(AXIS), P(AXIS))))
-        self.color_ref, self.rows, self.d = fn(
+                in_specs=(P(AXIS),) * 9,
+                out_specs=(P(AXIS),) * 6))
+        (self.color_ref, self.ids, self.sd, self.rows, self.dd,
+         small_full) = fn(
             self.keys, self.color_ref, self.flags, self.n, self.starts,
-            self.rows, self.d)
-        self._d_max = int(np.asarray(jax.device_get(self.d)).max())
+            self.ids, self.sd, self.rows, self.dd)
+        self._sd_max = int(np.asarray(jax.device_get(self.sd)).max())
+        self._dd_max = int(np.asarray(jax.device_get(self.dd)).max())
+        self._small_full_max = int(np.asarray(
+            jax.device_get(small_full)).max())
 
     # -- queries ---------------------------------------------------------
     def query_kmers_packed(self, packed, valid=None):
@@ -487,14 +542,15 @@ class ShardedCDBG:
         if valid is None:
             valid = np.ones(packed.shape[0], dtype=bool)
         fn = self._cached(
-            "query", (self.keys.shape, self.rows.shape, packed.shape),
+            "query", (self.keys.shape, self.ids.shape, self.rows.shape,
+                      packed.shape),
             lambda: jax.shard_map(
                 _query_body, mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                          P(), P()),
+                          P(AXIS), P(), P()),
                 out_specs=(P(), P())))
-        found, bitmap = fn(self.keys, self.color_ref, self.rows, self.n,
-                           self.starts, jnp.asarray(packed),
+        found, bitmap = fn(self.keys, self.color_ref, self.ids, self.rows,
+                           self.n, self.starts, jnp.asarray(packed),
                            jnp.asarray(valid))
         return np.asarray(found), np.asarray(bitmap)
 
@@ -589,19 +645,31 @@ class ShardedCDBG:
 
     def iterate_over_kmers(self, fn):
         """Call ``fn(kmer_str, BFTAnnotation, flag)`` for every k-mer
-        (reference iterate_over_kmers bft.c:1051; sharded parity)."""
+        (reference iterate_over_kmers bft.c:1051; sharded parity).
+
+        Host-side per-k-mer callback loop — parity, not a device-scale
+        path; use the batched exports for big tables."""
+        from bloomfiltertrie_tpu.models import colors_codec
         self.flush()
         keys = np.asarray(jax.device_get(self.keys))
         ns = np.asarray(jax.device_get(self.n))
         cref = np.asarray(jax.device_get(self.color_ref))
         flags = np.asarray(jax.device_get(self.flags))
+        ids = np.asarray(jax.device_get(self.ids))
         rows = np.asarray(jax.device_get(self.rows))
+        cw = rows.shape[2]
         for s in range(self.n_shards):
             c = int(ns[s])
             if not c:
                 continue
             strs = codec.decode_strings(keys[s, :c], self.k)
-            bm = rows[s][np.maximum(cref[s, :c], 0)]
+            cr = cref[s, :c]
+            dense = (cr & tbl.DENSE_TAG) != 0
+            bm = np.zeros((c, cw), np.uint32)
+            bm[dense] = rows[s][cr[dense] & ~tbl.DENSE_TAG]
+            small = ~dense & (cr >= 0)
+            bm[small] = colors_codec.ids_rows_to_bitmaps(
+                ids[s][cr[small]], cw)
             for i, st in enumerate(strs):
                 fn(st, BFTAnnotation(bm[i], self.nb_genomes),
                    int(flags[s, i]))
@@ -651,27 +719,57 @@ class ShardedCDBG:
         self.flush()
         keys = np.asarray(jax.device_get(self.keys))
         ns = np.asarray(jax.device_get(self.n))
-        ds = np.asarray(jax.device_get(self.d))
+        sds = np.asarray(jax.device_get(self.sd))
+        dds = np.asarray(jax.device_get(self.dd))
         cref = np.asarray(jax.device_get(self.color_ref))
         flags = np.asarray(jax.device_get(self.flags))
+        ids = np.asarray(jax.device_get(self.ids))
         rows = np.asarray(jax.device_get(self.rows))
-        g_keys, g_cref, g_flags, g_rows = [], [], [], []
-        offset = 0
+        s_w = ids.shape[2]
+        cw = rows.shape[2]
+        # Per-pool global concatenation: per-kmer refs rebase into
+        # [all shards' small pools | all shards' dense pools].
+        g_keys, g_cref, g_flags, g_ids, g_rows = [], [], [], [], []
+        s_off = 0
+        d_off = 0
+        total_sd = int(sds.sum())
         for s in range(self.n_shards):
+            cr = cref[s, : ns[s]]
+            dense = (cr & tbl.DENSE_TAG) != 0
+            rebased = np.where(
+                cr < 0, -1,
+                np.where(dense, total_sd + d_off + (cr & ~tbl.DENSE_TAG),
+                         s_off + cr))
             g_keys.append(keys[s, : ns[s]])
-            g_cref.append(cref[s, : ns[s]] + offset)
+            g_cref.append(rebased)
             g_flags.append(flags[s, : ns[s]])
-            g_rows.append(rows[s, : ds[s]])
-            offset += int(ds[s])
+            g_ids.append(ids[s, : sds[s]])
+            g_rows.append(rows[s, : dds[s]])
+            s_off += int(sds[s])
+            d_off += int(dds[s])
+        all_ids = (np.concatenate(g_ids) if g_ids
+                   else np.zeros((0, s_w), np.int32))
         all_rows = (np.concatenate(g_rows) if g_rows
-                    else np.zeros((0, rows.shape[2]), np.uint32))
-        all_cref = (np.concatenate(g_cref) if g_cref
+                    else np.zeros((0, cw), np.uint32))
+        all_cref = (np.concatenate(g_cref).astype(np.int32) if g_cref
                     else np.zeros((0,), np.int32))
-        # Global dedup: identical class rows across shards collapse to one.
+        # Global dedup: identical classes across shards collapse to one.
+        # Pools dedup independently (the small/dense split is canonical).
+        uniq_ids, inv_s = (np.unique(all_ids, axis=0, return_inverse=True)
+                           if len(all_ids) else
+                           (all_ids, np.zeros(0, np.int64)))
+        uniq_rows, inv_d = (np.unique(all_rows, axis=0, return_inverse=True)
+                            if len(all_rows) else
+                            (all_rows, np.zeros(0, np.int64)))
+        remap = np.concatenate([
+            inv_s.astype(np.int64),
+            len(uniq_ids) + inv_d.astype(np.int64)])
+        if len(all_cref):
+            all_cref = np.where(all_cref < 0, -1,
+                                remap[np.maximum(all_cref, 0)]).astype(np.int32)
         from bloomfiltertrie_tpu.models import colors_codec
-        uniq, inverse = np.unique(all_rows, axis=0, return_inverse=True)
-        all_cref = inverse.astype(np.int32)[all_cref] if len(all_cref) else all_cref
-        enc = colors_codec.encode_classes(uniq, max(self.nb_genomes, 1))
+        enc = colors_codec.encode_hybrid(uniq_ids, uniq_rows,
+                                         max(self.nb_genomes, 1))
         np.savez_compressed(
             path if path.endswith(".npz") else path + ".npz",
             keys=np.concatenate(g_keys), color_ref=all_cref,
@@ -682,7 +780,7 @@ class ShardedCDBG:
                 "config": dataclasses.asdict(
                     dataclasses.replace(self.config, shard_bits=0)),
                 "genome_names": self.genome_names,
-                "d": int(uniq.shape[0]), "cw": int(rows.shape[2]),
+                "d": int(len(uniq_ids) + len(uniq_rows)), "cw": int(cw),
                 "sharded": True,
             }).encode(), dtype=np.uint8))
 
@@ -693,20 +791,28 @@ class ShardedCDBG:
         import os
         if not os.path.exists(path) and os.path.exists(path + ".npz"):
             path = path + ".npz"
+        from bloomfiltertrie_tpu.models import colors_codec
         z = np.load(path)
         manifest = json.loads(z["manifest"].tobytes().decode())
         config = BFTConfig.from_dict(manifest["config"])
         self = cls(config, mesh=mesh, capacity_factor=capacity_factor)
         self.genome_names = list(manifest["genome_names"])
         keys, cref, flags = z["keys"], z["color_ref"], z["flags"]
+        g = max(len(manifest["genome_names"]), 1)
+        s_w = config.color_small_width
+        cw = manifest.get("cw", 1)
         if "rows" in z:  # legacy uncompressed dictionary
-            rows = z["rows"]
+            cw = z["rows"].shape[1] if len(z["rows"]) else 1
+            ids_g, rows_g, ref_remap = colors_codec.pools_from_bitmap_rows(
+                z["rows"], g, s_w)
         else:
-            from bloomfiltertrie_tpu.models import colors_codec
-            rows = colors_codec.decode_classes(
+            ids_g, rows_g, ref_remap = colors_codec.decode_to_pools(
                 {"modes": z["color_modes"], "offsets": z["color_offsets"],
-                 "data": z["color_data"]},
-                max(len(manifest["genome_names"]), 1), manifest.get("cw", 1))
+                 "data": z["color_data"]}, g, s_w, cw)
+        # Tagged in-memory refs in the GLOBAL pool space.
+        cref_t = np.where(cref < 0, -1,
+                          ref_remap[np.maximum(cref, 0)]
+                          if len(ref_remap) else -1).astype(np.int32)
         n_shards = self.n_shards
         sb = self.config.shard_bits
         shard_of = ((keys[:, 0] >> np.uint32(32 - sb)).astype(np.int64)
@@ -714,33 +820,57 @@ class ShardedCDBG:
         counts = np.bincount(shard_of, minlength=n_shards)
         cap = max(_next_pow2(int(counts.max()) if len(keys) else 1),
                   config.initial_capacity)
-        d = rows.shape[0]
-        dcap = max(_next_pow2(d + 1), config.initial_color_capacity)
-        cw = rows.shape[1] if d else 1
         w = self.config.words
         keys_s = np.full((n_shards, cap, w), 0xFFFFFFFF, np.uint32)
         cref_s = np.full((n_shards, cap), -1, np.int32)
         flags_s = np.zeros((n_shards, cap), np.uint8)
         n_s = np.zeros((n_shards,), np.int32)
-        # Global dictionary replicated per shard; the per-shard
-        # compress_colors below GC's unreferenced rows immediately so
-        # repeated save/load cycles don't grow state.
-        rows_s = np.zeros((n_shards, dcap, cw), np.uint32)
         starts_np = np.zeros((n_shards, ss.NB_BUCKETS + 1), np.int32)
+        # Partition the dictionary: each shard gets ONLY the classes its
+        # k-mers reference, with refs remapped into the shard-local pools —
+        # no global-dictionary replication, O(sum of per-shard referenced
+        # classes) total memory instead of O(shards * d).
+        shard_small: list = []
+        shard_dense: list = []
+        sd_s = np.zeros((n_shards,), np.int32)
+        dd_s = np.zeros((n_shards,), np.int32)
         off = 0
         for s in range(n_shards):
             c = int(counts[s])
             keys_s[s, :c] = keys[off: off + c]
-            cref_s[s, :c] = cref[off: off + c]
             flags_s[s, :c] = flags[off: off + c]
             n_s[s] = c
-            rows_s[s, :d] = rows
+            cr = cref_t[off: off + c]
+            dense = (cr >= 0) & ((cr & tbl.DENSE_TAG) != 0)
+            small = (cr >= 0) & ~dense
+            u_small, inv_small = np.unique(cr[small], return_inverse=True) \
+                if small.any() else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            u_dense, inv_dense = np.unique(cr[dense] & ~tbl.DENSE_TAG,
+                                           return_inverse=True) \
+                if dense.any() else (np.zeros(0, np.int64), np.zeros(0, np.int64))
+            local = np.full(c, -1, np.int32)
+            local[small] = inv_small.astype(np.int32)
+            local[dense] = inv_dense.astype(np.int32) | tbl.DENSE_TAG
+            cref_s[s, :c] = local
+            shard_small.append(ids_g[u_small.astype(np.int64)])
+            shard_dense.append(rows_g[u_dense.astype(np.int64)])
+            sd_s[s] = len(u_small)
+            dd_s[s] = len(u_dense)
             # per-shard prefix index, built host-side
             top16 = (keys[off: off + c, 0] >> np.uint32(16)).astype(np.int64)
             starts_np[s, :-1] = np.searchsorted(
                 top16, np.arange(ss.NB_BUCKETS), side="left")
             starts_np[s, -1] = c
             off += c
+        scap = max(_next_pow2(max(int(sd_s.max()) if n_shards else 1, 1)),
+                   config.initial_color_capacity)
+        dcap = max(_next_pow2(max(int(dd_s.max()) if n_shards else 1, 1)),
+                   config.initial_dense_color_capacity)
+        ids_s = np.full((n_shards, scap, s_w), tbl.EMPTY_ID, np.int32)
+        rows_s = np.zeros((n_shards, dcap, cw), np.uint32)
+        for s in range(n_shards):
+            ids_s[s, : sd_s[s]] = shard_small[s]
+            rows_s[s, : dd_s[s]] = shard_dense[s]
 
         shardit = self._shardit
         self.keys = shardit(keys_s)
@@ -748,10 +878,17 @@ class ShardedCDBG:
         self.flags = shardit(flags_s)
         self.n = shardit(n_s)
         self.starts = shardit(starts_np)
+        self.ids = shardit(ids_s)
+        self.sd = shardit(sd_s)
         self.rows = shardit(rows_s)
-        self.d = shardit(np.full((n_shards,), d, np.int32))
+        self.dd = shardit(dd_s)
         self._n_max = int(n_s.max()) if n_shards else 0
-        self._d_max = d
+        self._sd_max = int(sd_s.max()) if n_shards else 0
+        self._dd_max = int(dd_s.max()) if n_shards else 0
+        counts_per = (ids_s != tbl.EMPTY_ID).sum(axis=2)
+        live = np.arange(scap)[None, :] < sd_s[:, None]
+        self._small_full_max = int((live & (counts_per == s_w)).sum(axis=1)
+                                   .max()) if n_shards else 0
         # Rebuild the per-shard Bloom plane from the loaded keys (the plane
         # is shard-layout dependent, so it is reconstructed, not serialized).
         seeds = jnp.asarray([config.bloom_seed1, config.bloom_seed2],
@@ -765,8 +902,6 @@ class ShardedCDBG:
                 in_specs=(P(AXIS), P(AXIS), P()),
                 out_specs=P(AXIS)))
         self.bloom = fn(self.keys, self.n, seeds)
-        # GC replicated-but-unreferenced dictionary rows per shard.
-        self.compress_colors()
         return self
 
     def to_single(self) -> "object":
@@ -789,33 +924,51 @@ class ShardedCDBG:
             z = np.load(p + ".npz")
             manifest = json.loads(z["manifest"].tobytes().decode())
             from bloomfiltertrie_tpu.models import colors_codec
-            rows = colors_codec.decode_classes(
+            cfg = BFTConfig.from_dict(manifest["config"])
+            g = max(len(manifest["genome_names"]), 1)
+            ids_p, rows_p, remap = colors_codec.decode_to_pools(
                 {"modes": z["color_modes"], "offsets": z["color_offsets"],
-                 "data": z["color_data"]},
-                max(len(manifest["genome_names"]), 1), manifest.get("cw", 1))
-            dbg = ColoredDBG(BFTConfig.from_dict(manifest["config"]))
+                 "data": z["color_data"]}, g, cfg.color_small_width,
+                manifest.get("cw", 1))
+            dbg = ColoredDBG(cfg)
             dbg.genome_names = list(manifest["genome_names"])
-            n, d = z["keys"].shape[0], rows.shape[0]
-            cap = max(_next_pow2(max(n, 1)), dbg.config.initial_capacity)
-            dcap = max(_next_pow2(max(d, 1)), dbg.config.initial_color_capacity)
-            w = dbg.config.words
+            n = z["keys"].shape[0]
+            sd, dd = ids_p.shape[0], rows_p.shape[0]
+            cap = max(_next_pow2(max(n, 1)), cfg.initial_capacity)
+            scap = max(_next_pow2(max(sd, 1)), cfg.initial_color_capacity)
+            dcap = max(_next_pow2(max(dd, 1)),
+                       cfg.initial_dense_color_capacity)
+            w = cfg.words
             keys = np.full((cap, w), 0xFFFFFFFF, np.uint32)
             keys[:n] = z["keys"]
+            cref_in = z["color_ref"]
             cref = np.full((cap,), -1, np.int32)
-            cref[:n] = z["color_ref"]
+            if n:
+                cref[:n] = np.where(cref_in < 0, -1,
+                                    remap[np.maximum(cref_in, 0)]
+                                    if len(remap) else -1)
             flags = np.zeros((cap,), np.uint8)
             flags[:n] = z["flags"]
-            rows_full = np.zeros((dcap, rows.shape[1] if d else 1), np.uint32)
-            rows_full[:d] = rows
+            ids_full = np.full((scap, cfg.color_small_width), tbl.EMPTY_ID,
+                               np.int32)
+            ids_full[:sd] = ids_p
+            rows_full = np.zeros((dcap, rows_p.shape[1] if dd else
+                                  manifest.get("cw", 1)), np.uint32)
+            rows_full[:dd] = rows_p
             keys_d = jnp.asarray(keys)
             n_d = jnp.asarray(n, dtype=jnp.int32)
             dbg.table = tbl.KmerTable(
                 keys=keys_d, color_ref=jnp.asarray(cref),
                 flags=jnp.asarray(flags), n=n_d,
                 bucket_starts=ss.build_bucket_starts(keys_d, n_d))
-            dbg.colors = tbl.ColorDict(rows=jnp.asarray(rows_full),
-                                       d=jnp.asarray(d, dtype=jnp.int32))
-            dbg._n, dbg._d = n, d
+            dbg.colors = tbl.ColorStore(
+                ids=jnp.asarray(ids_full), rows=jnp.asarray(rows_full),
+                sd=jnp.asarray(sd, dtype=jnp.int32),
+                dd=jnp.asarray(dd, dtype=jnp.int32))
+            dbg._n, dbg._sd, dbg._dd = n, sd, dd
+            dbg._small_full = int(np.sum(
+                (ids_p != tbl.EMPTY_ID).sum(axis=1)
+                == cfg.color_small_width)) if sd else 0
         return dbg
 
     # -- observability ----------------------------------------------------
@@ -824,13 +977,19 @@ class ShardedCDBG:
         return {
             "nb_kmers": self.nb_kmers,
             "nb_color_classes": self.nb_color_classes,
+            "nb_small_classes": int(np.asarray(
+                jax.device_get(self.sd)).sum()),
+            "nb_dense_classes": int(np.asarray(
+                jax.device_get(self.dd)).sum()),
             "nb_genomes": self.nb_genomes,
             "n_shards": self.n_shards,
             "table_capacity_per_shard": self.keys.shape[1],
             "bytes_keys": self.keys.size * 4,
             "bytes_color_ref": self.color_ref.size * 4,
             "bytes_flags": self.flags.size,
-            "bytes_colors": self.rows.size * 4,
+            "bytes_colors_small": self.ids.size * 4,
+            "bytes_colors_dense": self.rows.size * 4,
+            "bytes_colors": self.ids.size * 4 + self.rows.size * 4,
             "bytes_bloom": self.bloom.size * 4,
             "total_dropped_then_retried": self.total_dropped,
         }

@@ -82,8 +82,9 @@ def section_config5():
     dt = time.monotonic() - t0
 
     stats = dbg.memory_stats()
-    rows = np.asarray(dbg.colors.rows)[: dbg.nb_color_classes]
-    enc = colors_codec.encode_classes(rows, n_genomes)
+    enc = colors_codec.encode_hybrid(
+        np.asarray(dbg.colors.ids)[: dbg._sd],
+        np.asarray(dbg.colors.rows)[: dbg._dd], n_genomes)
     live_bytes_keys = dbg.nb_kmers * w * 4
     out = {
         "section": "config5_1000genomes_k63",

@@ -89,7 +89,8 @@ def mk_full_insert(use_pallas):
     def full_insert(table_keys, cref, flags, n, rows, bloom, batch):
         t = tbl.KmerTable(keys=table_keys, color_ref=cref, flags=flags, n=n,
                           bucket_starts=starts)
-        c = tbl.ColorDict(rows=rows, d=jnp.asarray(2, jnp.int32))
+        c = tbl.ColorStore(ids=jnp.full((rows.shape[0], 4), tbl.EMPTY_ID, jnp.int32),
+                           rows=rows, sd=jnp.asarray(2, jnp.int32), dd=jnp.asarray(0, jnp.int32))
         t2, c2, b2, stats = tbl.insert_batch_impl(
             t, c, bloom, batch, jnp.ones((M,), bool),
             jnp.int32(1), jnp.int32(1), 26, jnp.uint32(1), jnp.uint32(2),

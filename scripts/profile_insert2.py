@@ -72,7 +72,8 @@ timeit("build_bucket_starts", bs, tkeys, n)
 def run_full(tkeys, cref, flags, n, starts, rows, bloom, batch, valid):
     table = tbl.KmerTable(keys=tkeys, color_ref=cref, flags=flags, n=n,
                           bucket_starts=starts)
-    colors = tbl.ColorDict(rows=rows, d=jnp.int32(1))
+    colors = tbl.ColorStore(ids=jnp.full((rows.shape[0], 4), tbl.EMPTY_ID, jnp.int32),
+                            rows=rows, sd=jnp.int32(1), dd=jnp.int32(0))
     return tbl.insert_batch_impl(
         table, colors, bloom, batch, valid, jnp.int32(0), jnp.int32(0),
         LOG2B, jnp.uint32(1), jnp.uint32(2), use_pallas=True)
@@ -86,7 +87,8 @@ timeit("FULL insert_batch (pallas)", rf, tkeys, cref, flags, n, starts, rows,
 def run_full_x(tkeys, cref, flags, n, starts, rows, bloom, batch, valid):
     table = tbl.KmerTable(keys=tkeys, color_ref=cref, flags=flags, n=n,
                           bucket_starts=starts)
-    colors = tbl.ColorDict(rows=rows, d=jnp.int32(1))
+    colors = tbl.ColorStore(ids=jnp.full((rows.shape[0], 4), tbl.EMPTY_ID, jnp.int32),
+                            rows=rows, sd=jnp.int32(1), dd=jnp.int32(0))
     return tbl.insert_batch_impl(
         table, colors, bloom, batch, valid, jnp.int32(0), jnp.int32(0),
         LOG2B, jnp.uint32(1), jnp.uint32(2), use_pallas=False)

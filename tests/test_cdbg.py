@@ -376,7 +376,7 @@ def test_debug_invariants_catch_corruption(monkeypatch):
     # corrupt: point a live row's color_ref outside [0, d)
     bad = dbg.table.color_ref.at[0].set(jnp.int32(dbg.nb_color_classes + 7))
     dbg.table = dataclasses.replace(dbg.table, color_ref=bad)
-    with pytest.raises(AssertionError, match="color_ref out of range"):
+    with pytest.raises(AssertionError, match="color_ref out of pool range"):
         dbg._check_invariants()
 
     # corrupt: break sortedness of the key tensor
