@@ -693,11 +693,9 @@ class ColoredDBG:
                                     self.table.n,
                                     jnp.asarray(genome_id, jnp.int32))
 
-    def prefix_matching(self, prefix: str) -> np.ndarray:
-        """Packed k-mers with the given prefix (reference bft.c:1096).
-
-        Sorted order makes this a contiguous range: [prefix+A..A, prefix+T..T].
-        """
+    def _prefix_range(self, prefix: str) -> tuple[int, int]:
+        """Row range [lo, hi) of k-mers with the given prefix (sorted order
+        makes it contiguous: [prefix+A..A, prefix+T..T])."""
         self.flush()
         p = len(prefix)
         if p > self.k:
@@ -711,8 +709,41 @@ class ColoredDBG:
             self.table.keys, jnp.asarray(packed[:1]), side="left"))[0])
         hi = int(jax.device_get(ss.searchsorted(
             self.table.keys, jnp.asarray(packed[1:]), side="right"))[0])
-        hi = min(hi, self._n)
-        return np.asarray(self.table.keys[lo:hi])
+        return lo, min(hi, self._n)
+
+    def prefix_matching(self, prefix: str,
+                        with_annotations: bool = False):
+        """Packed k-mers with the given prefix (reference bft.c:1096).
+
+        With ``with_annotations=True``, also returns the color bitmaps
+        uint32[m, cw] and flags uint8[m] of the matched rows — the batched
+        form of the reference's (k-mer, annotation) prefix callbacks
+        (``iterate_over_prefixes`` src/extract_kmers.c:599,
+        ``v_prefix_matching_custom`` src/presenceNode.c:2451).
+        """
+        lo, hi = self._prefix_range(prefix)
+        keys = np.asarray(self.table.keys[lo:hi])
+        if not with_annotations:
+            return keys
+        cls = self.table.color_ref[lo:hi]
+        bitmaps = np.asarray(tbl.class_bitmap(self.colors, cls))
+        flags = np.asarray(self.table.flags[lo:hi])
+        return keys, bitmaps, flags
+
+    def iterate_over_prefix(self, prefix: str, fn, chunk: int = 65536):
+        """Call ``fn(kmer_str, BFTAnnotation, flag)`` for every k-mer with
+        the given prefix (reference iterate_over_prefixes
+        src/extract_kmers.c:599) — callback parity; batched callers should
+        prefer :meth:`prefix_matching` with annotations."""
+        lo, hi = self._prefix_range(prefix)
+        for off in range(lo, hi, chunk):
+            top = min(off + chunk, hi)
+            keys = np.asarray(self.table.keys[off:top])
+            cls = self.table.color_ref[off:top]
+            rows = np.asarray(tbl.class_bitmap(self.colors, cls))
+            flags = np.asarray(self.table.flags[off:top])
+            for i, s in enumerate(codec.decode_strings(keys, self.k)):
+                fn(s, BFTAnnotation(rows[i], self.nb_genomes), int(flags[i]))
 
     # ------------------------------------------------------------------
     # marking (reference src/marking.c 2-bit flag planes)

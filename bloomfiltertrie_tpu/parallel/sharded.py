@@ -567,7 +567,18 @@ class ShardedCDBG:
         return BFTAnnotation(bitmap[0], self.nb_genomes)
 
     def query_sequence(self, sequence, threshold: float,
-                       canonical: bool | None = None):
+                       canonical: bool | None = None,
+                       chunk_windows: int = 16384):
+        """Genome ids whose k-mer hit count >= ceil(threshold * (L-k+1)).
+
+        Mirrors the single-chip path (models/cdbg.py query_sequence):
+        windows are scanned in power-of-two-padded chunks (one compiled
+        sharded program per size class, not one per distinct sequence
+        length) with early abort once every genome is decided (reference
+        bft.c:1283-1320).
+        """
+        if not (0 < threshold <= 1):
+            raise ValueError("threshold must be in (0, 1]")
         if canonical is None:
             canonical = self.config.canonical
         seq = sequence.encode() if isinstance(sequence, str) else sequence
@@ -578,11 +589,28 @@ class ShardedCDBG:
         packed, valid = codec.kmerize_sequence(seq, self.k)
         if canonical:
             packed = codec.canonical_packed(packed, self.k)
-        _, bitmap = self.query_kmers_packed(packed, valid)
-        bits = np.unpackbits(bitmap.view(np.uint8).reshape(bitmap.shape[0], -1),
-                             axis=1, bitorder="little")
-        counts = bits.sum(axis=0)
-        return np.nonzero(counts[: self.nb_genomes] >= need)[0].astype(np.uint32)
+        packed = np.asarray(packed)
+        valid = np.asarray(valid)
+        g = self.nb_genomes
+        counts = np.zeros((max(g, 1),), dtype=np.int64)
+        for off in range(0, nb_windows, chunk_windows):
+            hi = min(off + chunk_windows, nb_windows)
+            s = hi - off
+            pad = _next_pow2(s) - s
+            chunk_p = np.pad(packed[off:hi], ((0, pad), (0, 0)))
+            valid_p = np.pad(valid[off:hi], (0, pad))
+            _, bitmap = self.query_kmers_packed(chunk_p, valid_p)
+            bits = np.unpackbits(
+                bitmap.view(np.uint8).reshape(bitmap.shape[0], -1),
+                axis=1, bitorder="little")
+            # uint8 sum yields uint64; cast before += (int64 + uint64
+            # otherwise promotes to float64 and the in-place add raises)
+            counts += bits.sum(axis=0).astype(np.int64)[: counts.shape[0]]
+            remaining = nb_windows - hi
+            decided = (counts[:g] >= need) | (counts[:g] + remaining < need)
+            if decided.all():
+                break  # early abort: no remaining window changes the answer
+        return np.nonzero(counts[:g] >= need)[0].astype(np.uint32)
 
     def branching_count_packed(self, packed, valid=None) -> int:
         self.flush()
@@ -674,12 +702,15 @@ class ShardedCDBG:
                 fn(st, BFTAnnotation(bm[i], self.nb_genomes),
                    int(flags[s, i]))
 
-    def prefix_matching(self, prefix: str) -> np.ndarray:
+    def prefix_matching(self, prefix: str, with_annotations: bool = False):
         """Packed k-mers with the given prefix (reference bft.c:1096).
 
         Each shard's range is contiguous; the global result is the
         shard-order concatenation (shards partition the sorted key space).
+        With ``with_annotations=True`` also returns color bitmaps and flags
+        (reference iterate_over_prefixes src/extract_kmers.c:599).
         """
+        from bloomfiltertrie_tpu.models import colors_codec
         self.flush()
         p = len(prefix)
         if p > self.k:
@@ -700,11 +731,32 @@ class ShardedCDBG:
         lo = np.asarray(jax.device_get(lo))
         hi = np.asarray(jax.device_get(hi))
         keys = np.asarray(jax.device_get(self.keys))
-        parts = [keys[s, lo[s]: hi[s]] for s in range(self.n_shards)
-                 if hi[s] > lo[s]]
-        if not parts:
-            return np.zeros((0, self.config.words), dtype=np.uint32)
-        return np.concatenate(parts)
+        live = [s for s in range(self.n_shards) if hi[s] > lo[s]]
+        if not live:
+            empty = np.zeros((0, self.config.words), dtype=np.uint32)
+            if not with_annotations:
+                return empty
+            return (empty, np.zeros((0, self.rows.shape[2]), np.uint32),
+                    np.zeros((0,), np.uint8))
+        out_keys = np.concatenate([keys[s, lo[s]: hi[s]] for s in live])
+        if not with_annotations:
+            return out_keys
+        cref = np.asarray(jax.device_get(self.color_ref))
+        flags = np.asarray(jax.device_get(self.flags))
+        ids = np.asarray(jax.device_get(self.ids))
+        rows = np.asarray(jax.device_get(self.rows))
+        cw = rows.shape[2]
+        bms, flg = [], []
+        for s in live:
+            cr = cref[s, lo[s]: hi[s]]
+            dense = (cr & tbl.DENSE_TAG) != 0
+            bm = np.zeros((len(cr), cw), np.uint32)
+            bm[dense] = rows[s][cr[dense] & ~tbl.DENSE_TAG]
+            small = ~dense & (cr >= 0)
+            bm[small] = colors_codec.ids_rows_to_bitmaps(ids[s][cr[small]], cw)
+            bms.append(bm)
+            flg.append(flags[s, lo[s]: hi[s]])
+        return out_keys, np.concatenate(bms), np.concatenate(flg)
 
     # -- persistence (sharded checkpoint; mesh-size independent) ---------
     def save(self, path: str):

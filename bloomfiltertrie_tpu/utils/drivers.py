@@ -48,25 +48,31 @@ def insert_genomes_from_kmer_files(dbg: ColoredDBG, paths: list[str],
 
 def insert_genomes_from_fasta_files(dbg: ColoredDBG, paths: list[str],
                                     verbose: bool = True):
-    """FASTA/FASTQ-header-tolerant genome ingest (one genome per file).
+    """FASTA/FASTQ genome ingest (one genome per file), streamed.
 
     The reference's FASTx path is present but commented out
-    (``insert_Genomes_from_FASTxFiles`` src/file_io.c:277-318); this is the
-    active equivalent: records are k-merized (non-ACGT windows skipped, the
-    reference's IUPAC-reject rule, src/fasta.c:3-53) and streamed through the
-    same buffered insert path as k-mer files.  Uses the native C parser when
-    built (bloomfiltertrie_tpu/native/parser.cpp).
+    (``insert_Genomes_from_FASTxFiles`` src/file_io.c:277-318, FASTA+FASTQ
+    via ``kseq_read`` include/kseq.h:168); this is the active equivalent:
+    file chunks are k-merized with a (k-1)-base carry (kmer_io.FastxStream
+    — host memory O(chunk), never the whole file), non-ACGT windows are
+    skipped (the IUPAC-reject rule, src/fasta.c:3-53), and batches flow
+    straight into the buffered insert path.  Uses the native C++ parser
+    when built (bloomfiltertrie_tpu/native/parser.cpp).
     """
     t_start = time.monotonic()
     for path in paths:
         t0 = time.monotonic()
-        packed, valid = kmer_io.read_fasta_file(path, dbg.k)
-        dbg.insert_genome(os.path.basename(path), packed, valid)
+        dbg.start_genome(os.path.basename(path))
+        n_kmers = 0
+        for packed, valid in kmer_io.FastxStream(path, dbg.k).batches():
+            dbg.insert_kmers_packed(packed, valid)
+            n_kmers += int(valid.sum())
+        dbg.end_genome()
         if verbose:
             t1 = time.monotonic()
             peak = resource.getrusage(resource.RUSAGE_SELF).ru_maxrss
             print(f"\nFile {dbg.nb_genomes - 1}: {path}\n")
-            print(f"{int(valid.sum())} kmers read")
+            print(f"{n_kmers} kmers read")
             print(f"Elapsed time: {t1 - t0:.6f} s")
             print(f"Total time: {t1 - t_start:.6f} s")
             print(f"Peak of memory: {peak // 1024} mb")

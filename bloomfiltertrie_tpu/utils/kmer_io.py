@@ -67,40 +67,114 @@ def read_kmer_file_ascii(path: str, k: int):
     return codec.encode_kmers(arr, k)
 
 
-def read_fasta_file(path: str, k: int):
-    """FASTA file -> (packed k-mer windows [N, W], valid bool [N]).
+class FastxStream:
+    """Chunked FASTA/FASTQ k-merizer with a (k-1)-base carry.
 
-    The reference's FASTx ingest path exists but is commented out
-    (``insert_Genomes_from_FASTxFiles`` src/file_io.c:277-318, with a
-    (k-1)-char carry so windows never cross chunk boundaries); this provides
-    the same capability: every record is k-merized independently.
+    The reference's (commented-out) FASTx path streams file chunks and keeps
+    a (k-1)-char carry so k-mers spanning chunk boundaries are never lost
+    (``insert_Genomes_from_FASTxFiles`` src/file_io.c:277-318; record
+    parsing per ``kseq_read`` include/kseq.h:168, which handles FASTA *and*
+    FASTQ).  This is the active equivalent: host memory stays O(chunk)
+    regardless of record or file size, and each yielded batch is k-merized
+    by the native rolling encoder (native/parser.cpp) or the NumPy codec.
+
+    Format is auto-detected from the first record character: '>' FASTA,
+    '@' FASTQ.  FASTQ quality lines are length-matched to the sequence (the
+    kseq rule), so '@'/'>' bytes inside quality strings cannot be mistaken
+    for headers.  Multi-line sequences are supported in both formats.
     """
-    with open(path, "rb") as f:
-        data = f.read()
-    from bloomfiltertrie_tpu import native
-    if native.available():
-        seqs = native.fasta_sequences(data)
-        parts = [native.kmerize_sequence(s, k) for s in seqs if s.size >= k]
-    else:
-        seqs = []
-        cur = []
-        for line in data.split(b"\n"):
-            line = line.strip()
-            if line.startswith(b">"):
-                if cur:
-                    seqs.append(b"".join(cur))
-                    cur = []
-            elif line:
-                cur.append(line)
-        if cur:
-            seqs.append(b"".join(cur))
-        parts = [codec.kmerize_sequence(s, k) for s in seqs if len(s) >= k]
-    w = codec.words_for_k(k)
-    if not parts:
-        return np.zeros((0, w), dtype=np.uint32), np.zeros((0,), dtype=bool)
-    packed = np.concatenate([p for p, _ in parts])
-    valid = np.concatenate([v for _, v in parts])
-    return packed, valid
+
+    def __init__(self, path: str, k: int, chunk_bytes: int = 1 << 22):
+        self.path = path
+        self.k = k
+        self.chunk_bytes = chunk_bytes
+
+    def _kmerize(self, fragment: bytes):
+        from bloomfiltertrie_tpu import native
+        if native.available():
+            return native.kmerize_sequence(fragment, self.k)
+        return codec.kmerize_sequence(fragment, self.k)
+
+    def batches(self):
+        """Yield (packed uint32[N, W], valid bool[N]) per sequence fragment."""
+        k = self.k
+        fmt = None          # ">" or "@"
+        state = "header"    # header | seq | plus | qual
+        carry = b""         # last k-1 bases of the current record
+        seq_len = 0         # FASTQ: bases seen in the current record
+        qual_left = 0       # FASTQ: quality bytes still expected
+        line_frag = b""     # partial trailing line of the previous chunk
+        with open(self.path, "rb") as f:
+            while True:
+                chunk = f.read(self.chunk_bytes)
+                final = not chunk
+                data = line_frag + chunk
+                if final:
+                    lines = data.split(b"\n") if data else []
+                    line_frag = b""
+                else:
+                    lines = data.split(b"\n")
+                    line_frag = lines.pop()  # may be incomplete
+                for line in lines:
+                    line = line.rstrip(b"\r")
+                    if fmt is None:
+                        if not line:
+                            continue
+                        if line[:1] in (b">", b"@"):
+                            fmt = line[:1]
+                        else:
+                            raise ValueError(
+                                f"{self.path}: not FASTA/FASTQ (first "
+                                f"record byte {line[:1]!r})")
+                    if state == "qual":
+                        qual_left -= len(line)
+                        if qual_left <= 0:
+                            state = "header"
+                        continue
+                    if state in ("header", "seq") and line[:1] == fmt:
+                        # new record header ('@' in quality is unreachable:
+                        # state == "qual" consumed exact lengths above)
+                        carry = b""
+                        seq_len = 0
+                        state = "seq"
+                        continue
+                    if fmt == b"@" and line[:1] == b"+" and state == "seq":
+                        qual_left = seq_len
+                        state = "qual" if qual_left > 0 else "header"
+                        continue
+                    if state == "seq" and line:
+                        seq_len += len(line)
+                        fragment = carry + line
+                        if len(fragment) >= k:
+                            yield self._kmerize(fragment)
+                            carry = fragment[-(k - 1):] if k > 1 else b""
+                        else:
+                            carry = fragment
+                if final:
+                    break
+
+    def read_all(self):
+        """Materialize the whole stream: (packed [N, W], valid bool [N])."""
+        w = codec.words_for_k(self.k)
+        parts = list(self.batches())
+        if not parts:
+            return (np.zeros((0, w), dtype=np.uint32),
+                    np.zeros((0,), dtype=bool))
+        return (np.concatenate([p for p, _ in parts]),
+                np.concatenate([v for _, v in parts]))
+
+
+def read_fastx_file(path: str, k: int, chunk_bytes: int = 1 << 22):
+    """FASTA or FASTQ file -> (packed k-mer windows [N, W], valid bool [N]).
+
+    Auto-detects the format; parses in O(chunk_bytes) memory with a
+    (k-1)-base carry (see :class:`FastxStream`).
+    """
+    return FastxStream(path, k, chunk_bytes).read_all()
+
+
+# Backward-compatible alias (now FASTQ-capable and streaming).
+read_fasta_file = read_fastx_file
 
 
 def read_kmer_file_comp(path: str, expected_k: int | None = None):

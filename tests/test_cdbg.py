@@ -387,3 +387,26 @@ def test_debug_invariants_catch_corruption(monkeypatch):
     dbg2.table = dataclasses.replace(dbg2.table, keys=swapped)
     with pytest.raises(AssertionError, match="not sorted"):
         dbg2._check_invariants()
+
+
+def test_prefix_matching_with_annotations(built):
+    """(k-mer, annotation) prefix delivery — reference
+    iterate_over_prefixes (extract_kmers.c:599)."""
+    dbg, oracle, _ = built
+    for prefix in ["A", "AC", "GG", "TTT"]:
+        keys, bms, flags = dbg.prefix_matching(prefix, with_annotations=True)
+        kms = codec.decode_strings(keys, dbg.k)
+        want = sorted(km for km in oracle.all_kmers() if km.startswith(prefix))
+        assert kms == want, prefix
+        for i, km in enumerate(kms):
+            got = np.nonzero(np.unpackbits(
+                bms[i].view(np.uint8), bitorder="little"))[0]
+            assert sorted(oracle.colors(km)) == list(got), km
+        assert flags.shape == (len(kms),)
+        # callback variant agrees
+        seen = []
+        dbg.iterate_over_prefix(prefix, lambda s, ann, f: seen.append(
+            (s, tuple(ann.list_id_genomes()))))
+        assert [s for s, _ in seen] == want
+        for (s, ids_), km in zip(seen, kms):
+            assert list(ids_) == sorted(oracle.colors(km))

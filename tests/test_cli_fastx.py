@@ -31,3 +31,69 @@ def test_build_from_fasta(tmp_path):
     assert dbg.genome_names == ["g0.fa"]
     ann = dbg.get_colors(kms[0])
     assert ann.list_id_genomes().tolist() == [0]
+
+
+def test_fastq_build_matches_fasta(tmp_path):
+    """FASTQ ingest (kseq.h:168 handles both formats; now we do too)."""
+    rng = np.random.default_rng(71)
+    k = 27
+    reads = ["".join(rng.choice(list("ACGT"), size=90)) for _ in range(30)]
+    fq = tmp_path / "g0.fastq"
+    recs = []
+    for i, r in enumerate(reads):
+        # quality line starts with '@' / '+' on purpose: must not be
+        # mistaken for a header/separator (length-matched consumption)
+        qual = "@" + "+" * 40 + "I" * (len(r) - 41)
+        recs.append(f"@read{i} extra\n{r}\n+\n{qual}\n")
+    fq.write_text("".join(recs))
+    lst = tmp_path / "list.txt"
+    lst.write_text(str(fq) + "\n")
+    out = tmp_path / "idx"
+    rc = cli.main(["build", str(k), "fastx", str(lst), str(out),
+                   "-extract_kmers", "kmers", str(tmp_path / "ext.kmers")])
+    assert rc == 0
+    oracle = OracleBFT(k)
+    kms = [r[i:i + k] for r in reads for i in range(len(r) - k + 1)]
+    oracle.insert_genome("g0.fastq", kms)
+    got = set((tmp_path / "ext.kmers").read_text().split())
+    assert got == oracle.all_kmers()
+
+
+def test_stream_chunk_boundaries_equivalent(tmp_path):
+    """Tiny chunk sizes must yield the same k-mer multiset as whole-file
+    parsing: the (k-1)-base carry (file_io.c:277-318) never loses or
+    duplicates a window."""
+    from bloomfiltertrie_tpu.utils import kmer_io
+    rng = np.random.default_rng(73)
+    k = 15
+    # one long multi-line record + several short ones + an N island
+    long_seq = "".join(rng.choice(list("ACGT"), size=5000))
+    fa = tmp_path / "mix.fa"
+    lines = [long_seq[i:i + 61] for i in range(0, len(long_seq), 61)]
+    body = ">long\n" + "\n".join(lines) + "\n"
+    body += ">short\nACGTACGTACGTACG\n"
+    body += ">withN\n" + long_seq[:40] + "N" + long_seq[40:80] + "\n"
+    fa.write_text(body)
+    ref_p, ref_v = kmer_io.read_fastx_file(str(fa), k)
+    for chunk in (17, 64, 1 << 12):
+        p, v = kmer_io.read_fastx_file(str(fa), k, chunk_bytes=chunk)
+        assert p[v].shape == ref_p[ref_v].shape, chunk
+        assert (np.sort(p[v].view(np.uint8).reshape(v.sum(), -1), axis=0)
+                == np.sort(ref_p[ref_v].view(np.uint8).reshape(
+                    ref_v.sum(), -1), axis=0)).all(), chunk
+
+
+def test_fastq_multiline_and_stream(tmp_path):
+    from bloomfiltertrie_tpu.utils import kmer_io
+    k = 11
+    seq = "ACGTACGTACGTACGTACGTACGT"  # 24 bases over 2 lines
+    fq = tmp_path / "m.fastq"
+    fq.write_text("@r0\n" + seq[:12] + "\n" + seq[12:] + "\n+\n"
+                  + "I" * 12 + "\n" + "I" * 12 + "\n"
+                  + "@r1\nACGTTTTTACGTT\n+\nIIIIIIIIIIIII\n")
+    p, v = kmer_io.read_fastx_file(str(fq), k, chunk_bytes=8)
+    from bloomfiltertrie_tpu.ops import codec
+    kms = set(codec.decode_strings(p[v], k))
+    want = {seq[i:i + k] for i in range(len(seq) - k + 1)}
+    want |= {"ACGTTTTTACGTT"[i:i + k] for i in range(3)}
+    assert kms == want

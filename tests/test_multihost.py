@@ -32,3 +32,103 @@ def test_host_local_batch_single():
     got, valid = multihost.host_local_batch(b)
     np.testing.assert_array_equal(got, b)
     assert valid.all()
+
+
+def test_two_process_protocol_simulated():
+    """Simulated two-process build following the documented protocol
+    (multihost.py module docstring): every process calls start_genome for
+    EVERY genome in the shared file list; the owner contributes the file's
+    k-mers, non-owners contribute an empty batch; genome ids stay globally
+    consistent and the result equals a single-host build.
+
+    True SPMD would run this loop once per host against the same global
+    arrays; the simulation drives one ShardedCDBG through both virtual
+    processes' contribution sequences, which exercises exactly the
+    host-side protocol logic (ownership partition + empty-batch path).
+    """
+    import jax
+    from bloomfiltertrie_tpu import BFTConfig
+    from bloomfiltertrie_tpu.ops import codec
+    from bloomfiltertrie_tpu.parallel.sharded import ShardedCDBG, make_mesh
+    import sys
+    sys.path.insert(0, __file__.rsplit("/", 1)[0])
+    from oracle import OracleBFT
+
+    assert len(jax.devices()) >= 4
+    rng = np.random.default_rng(55)
+    k = 27
+    n_proc = 2
+    files = {}
+    for i in range(5):
+        seq = "".join(rng.choice(list("ACGT"), size=300))
+        files[f"g{i}"] = [seq[j:j + k] for j in range(len(seq) - k + 1)]
+    names = sorted(files)
+
+    cfg = BFTConfig(k=k, initial_capacity=1 << 8,
+                    initial_color_capacity=1 << 6, bloom_log2_bits=12,
+                    batch_size=256)
+    mesh = make_mesh(4)
+
+    # multi-host-protocol build
+    dbg = ShardedCDBG(cfg, mesh=mesh)
+    w = cfg.words
+    for gi, name in enumerate(names):   # shared file list, same on all hosts
+        owner_files = {p: multihost.files_for_process(names, p, n_proc)
+                       for p in range(n_proc)}
+        dbg.start_genome(name)          # every process, every genome
+        for p in range(n_proc):
+            if name in owner_files[p]:
+                packed, valid = codec.encode_strings(files[name], k)
+            else:                       # non-owner: empty batch
+                packed = np.zeros((0, w), np.uint32)
+                valid = np.zeros((0,), bool)
+            dbg.insert_kmers_packed(packed, valid)
+        dbg.end_genome()
+
+    # single-host reference build + oracle
+    ref = ShardedCDBG(cfg, mesh=mesh)
+    oracle = OracleBFT(k)
+    for name in names:
+        packed, valid = codec.encode_strings(files[name], k)
+        ref.insert_genome(name, packed, valid)
+        oracle.insert_genome(name, files[name])
+
+    assert dbg.genome_names == ref.genome_names == names
+    assert dbg.nb_kmers == ref.nb_kmers == len(oracle.all_kmers())
+    kall = ref.extract_kmers_packed()
+    assert (dbg.extract_kmers_packed() == kall).all()
+    f1, b1 = dbg.query_kmers_packed(kall)
+    f2, b2 = ref.query_kmers_packed(kall)
+    assert f1.all() and (b1 == b2).all()
+
+
+def test_one_genome_scattered_across_processes():
+    """scatter_batch_slices flow: one genome's batch split across virtual
+    hosts; the routed union equals the whole-batch insert."""
+    import jax
+    from bloomfiltertrie_tpu import BFTConfig
+    from bloomfiltertrie_tpu.ops import codec
+    from bloomfiltertrie_tpu.parallel.sharded import ShardedCDBG, make_mesh
+
+    assert len(jax.devices()) >= 4
+    rng = np.random.default_rng(66)
+    k = 27
+    seq = "".join(rng.choice(list("ACGT"), size=800))
+    kms = [seq[j:j + k] for j in range(len(seq) - k + 1)]
+    packed, valid = codec.encode_strings(kms, k)
+    cfg = BFTConfig(k=k, initial_capacity=1 << 8,
+                    initial_color_capacity=1 << 6, bloom_log2_bits=12,
+                    batch_size=256)
+    mesh = make_mesh(4)
+
+    dbg = ShardedCDBG(cfg, mesh=mesh)
+    dbg.start_genome("g0")
+    for p in range(3):
+        sl = multihost.scatter_batch_slices(packed.shape[0], p, 3)
+        dbg.insert_kmers_packed(packed[sl], valid[sl])
+    dbg.end_genome()
+
+    ref = ShardedCDBG(cfg, mesh=mesh)
+    ref.insert_genome("g0", packed, valid)
+    assert dbg.nb_kmers == ref.nb_kmers
+    assert (dbg.extract_kmers_packed() == ref.extract_kmers_packed()).all()
