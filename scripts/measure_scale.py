@@ -53,6 +53,11 @@ def section_config5():
                     bloom_log2_bits=24, batch_size=1 << 17, pending_runs=1,
                     treshold_compression=1)
     dbg = ColoredDBG(cfg)
+    # Pre-size the color bitmap width for the final genome count: the flush
+    # program is shape-specialized on cw, so growing width on the fly would
+    # recompile at genomes 33/65/129/257/513 (~5 extra multi-minute XLA
+    # compiles over the tunnel); one width from the start = one compile.
+    dbg._ensure_colors(0, 0, genomes=n_genomes)
 
     def rand_keys(key, n):
         bits = jax.random.bits(key, (n, w), jnp.uint32)
@@ -60,10 +65,12 @@ def section_config5():
         return bits & jnp.asarray([0xFFFFFFFF] * 3 + [0xFFFFFFFC],
                                   dtype=jnp.uint32)[None, :]
 
+    log("  generating device data...")
     core_keys = rand_keys(jax.random.PRNGKey(1), core)
     cluster_keys = [rand_keys(jax.random.PRNGKey(100 + c), shell)
                     for c in range(n_clusters)]
     jax.block_until_ready((core_keys, cluster_keys))
+    log("  device data ready; building...")
 
     pad = (1 << 17) - per_genome
     t0 = time.monotonic()
@@ -76,31 +83,41 @@ def section_config5():
         dbg.start_genome(f"g{g}")
         dbg.insert_kmers_packed(batch, valid)
         dbg.end_genome()   # flush + per-genome color compression
-        if g % 100 == 99:
+        if g < 3 or g % 10 == 9:
             log(f"  genome {g+1}/{n_genomes}: n={dbg.nb_kmers} "
                 f"d={dbg.nb_color_classes} t={time.monotonic()-t0:.0f}s")
     dt = time.monotonic() - t0
 
     stats = dbg.memory_stats()
+    sd, dd = dbg._sd, dbg._dd
+    s_w = dbg.colors.small_width
+    cw = dbg.colors.width
     enc = colors_codec.encode_hybrid(
-        np.asarray(dbg.colors.ids)[: dbg._sd],
-        np.asarray(dbg.colors.rows)[: dbg._dd], n_genomes)
+        np.asarray(dbg.colors.ids)[:sd],
+        np.asarray(dbg.colors.rows)[:dd], n_genomes)
     live_bytes_keys = dbg.nb_kmers * w * 4
+    live_bytes_colors = sd * s_w * 4 + dd * cw * 4
     out = {
         "section": "config5_1000genomes_k63",
         "n_kmers": stats["nb_kmers"],
         "n_classes": stats["nb_color_classes"],
+        "n_small_classes": sd,
+        "n_dense_classes": dd,
         "genomes": n_genomes,
         "build_s": round(dt, 1),
         "insert_rate_kmers_s": round(n_genomes * per_genome / dt),
         "bytes_keys_capacity": stats["bytes_keys"],
         "bytes_keys_live": live_bytes_keys,
         "bytes_colors_capacity": stats["bytes_colors"],
-        "bytes_colors_live": int(rows.size * 4),
-        "bytes_per_class_bitmap": int(rows.shape[1] * 4) if len(rows) else 0,
+        "bytes_colors_live": live_bytes_colors,
+        "bytes_per_small_class": s_w * 4,
+        "bytes_per_dense_class": cw * 4,
         "bytes_colors_compact": int(len(enc["data"])),
         "colors_share_of_total": round(
             stats["bytes_colors"] / stats["bytes_total"], 4),
+        "colors_live_share": round(
+            live_bytes_colors / max(live_bytes_keys + live_bytes_colors, 1),
+            4),
     }
     print(json.dumps(out), flush=True)
     return dbg
