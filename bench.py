@@ -52,10 +52,20 @@ def main():
     cfg = BFTConfig(
         k=k,
         initial_capacity=1 << 24,        # pre-size: no growth in timed region
-        initial_color_capacity=1 << 20,
+        initial_color_capacity=1 << 14,  # ~2x live classes; compress_colors
+        initial_dense_color_capacity=1 << 10,  # sorts pool capacity, so
+        #                                  right-sizing it matters (an
+        #                                  oversized 2^20 pool cost 517 ms
+        #                                  per compress, scripts/profile_flush)
         bloom_log2_bits=26,
         batch_size=batch,
         pending_runs=n_batches,          # one flush per genome
+        # The per-shard Bloom plane is a query-path OPTION on this design
+        # (config.py: the exact streaming rank probe doesn't need it, unlike
+        # the reference trie whose walk is gated by its BF); maintaining it
+        # costs ~170 ms/flush (scripts/profile_flush: 864 -> 692 ms).  The
+        # recommended TPU config drops it; queries are exact either way.
+        bloom_enabled=False,
     )
 
     gen = jax.jit(

@@ -232,9 +232,15 @@ class ColoredDBG:
         gid = len(self.genome_names)
         self.genome_names.append(name)
         self._ensure_colors(1, 0, genomes=gid + 1)
+        # The singleton class id is deterministic (= the small-class count
+        # before the append, which the host mirrors); avoiding the
+        # device_get here removes one host<->device round trip per genome —
+        # material over a high-latency link.
+        self._cur_singleton = self._sd
         self.colors, cls = _append_singleton(
             self.colors, jnp.asarray(gid, dtype=jnp.int32))
-        self._cur_singleton = int(jax.device_get(cls))
+        if _debug_invariants():
+            assert int(jax.device_get(cls)) == self._cur_singleton
         self._sd += 1
         return gid
 
@@ -268,6 +274,18 @@ class ColoredDBG:
                                        self._run_size, self.config.words)
         bsz = self._run_size
         n_in = packed.shape[0]
+        # Bulk fast path: a device-resident batch that is a whole number of
+        # runs appends in ONE dispatch (the per-run loop costs one dispatch
+        # per run — ~25 ms each over a remote device link).
+        if on_device and n_in % bsz == 0:
+            n_runs = n_in // bsz
+            if self._pending_used + n_runs > self.config.pending_runs:
+                self.flush()
+            if self._pending_used + n_runs <= self.config.pending_runs:
+                self.runs = tbl.buffer_bulk(
+                    self.runs, packed, jnp.asarray(valid), n_new_runs=n_runs)
+                self._pending_used += n_runs
+                return
         for off in range(0, n_in, bsz):
             if on_device and off + bsz <= n_in:
                 # Traced-offset slice: one compiled program for every offset
@@ -308,6 +326,12 @@ class ColoredDBG:
         sd_before, scap = self._sd, self.colors.small_capacity
         dd_before, dcap = self._dd, self.colors.capacity
         gid = len(self.genome_names) - 1
+        # Distinct classes in any batch <= classes that exist now; the
+        # budget lets the color update run its per-class work at this size
+        # instead of the batch size (pow2-bucketed to bound recompiles).
+        total_pending = self._pending_used * self._run_size
+        budget = max(2048, _next_pow2(min(total_pending,
+                                          self._sd + self._dd)))
         self.table, self.colors, self.bloom, self.runs, stats = tbl.flush_genome(
             self.table, self.colors, self.runs, self.bloom,
             jnp.asarray(gid, dtype=jnp.int32),
@@ -317,9 +341,14 @@ class ColoredDBG:
             jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
             jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32),
             use_pallas=self._pallas_eligible(),
-            use_bloom=cfg.bloom_enabled)
+            use_bloom=cfg.bloom_enabled,
+            affected_budget=budget)
         self._pending_used = 0
         st = jax.device_get(stats)
+        if int(st["n_classes_seen"]) > budget:
+            raise RuntimeError(
+                f"affected-class budget violated: {int(st['n_classes_seen'])} "
+                f"distinct classes > budget {budget} (corruption)")
         self._n = int(st["n"])
         self._sd = int(st["sd"])
         self._dd = int(st["dd"])

@@ -75,6 +75,9 @@ def _varint_decode_all(buf: np.ndarray) -> tuple[np.ndarray, np.ndarray]:
 
 def unpack_rows(rows: np.ndarray, nb_genomes: int) -> np.ndarray:
     """uint32 bitmap rows [D, cw] -> bool [D, nb_genomes]."""
+    # ascontiguousarray: arrays exported from device buffers (or sliced)
+    # can be strided, and .view() needs a contiguous last axis.
+    rows = np.ascontiguousarray(rows, dtype=np.uint32)
     bits = np.unpackbits(rows.view(np.uint8).reshape(rows.shape[0], -1),
                          axis=1, bitorder="little")
     return bits[:, :nb_genomes].astype(bool)

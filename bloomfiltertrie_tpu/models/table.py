@@ -176,19 +176,22 @@ def append_singleton_class(colors: ColorStore, genome_id
 def ids_to_bitmap(ids: jnp.ndarray, cw: int) -> jnp.ndarray:
     """Expand small-pool id rows int32[m, S] -> uint32 bitmaps [m, cw].
 
-    One scatter-add per id slot (ids are unique per row, so add == or).
+    Compare-select construction: OR over S id slots of a one-hot word mask
+    — S*cw fused elementwise VPU ops, NO scatters.  (A scatter-add variant
+    measured ~100 ms per 1M rows on TPU — random-index scatters are
+    latency-bound; these dense compares are bandwidth-bound and fuse.)
     """
     m, s_w = ids.shape
-    flat = jnp.zeros((m * cw,), dtype=jnp.uint32)
-    row_base = jnp.arange(m, dtype=jnp.int32) * cw
-    for s in range(s_w):
-        idv = ids[:, s]
-        ok = idv != EMPTY_ID
-        word = jnp.where(ok, row_base + (idv >> 5), m * cw)
-        bit = jnp.where(ok, jnp.uint32(1) << (idv & 31).astype(jnp.uint32),
-                        jnp.uint32(0))
-        flat = flat.at[word].add(bit, mode="drop")
-    return flat.reshape(m, cw)
+    word = ids >> 5                                        # [m, S]
+    bit = jnp.where(ids != EMPTY_ID,
+                    jnp.uint32(1) << (ids & 31).astype(jnp.uint32),
+                    jnp.uint32(0))                         # [m, S]
+    cols = jnp.arange(cw, dtype=jnp.int32)[None, :]        # [1, cw]
+    out = jnp.zeros((m, cw), dtype=jnp.uint32)
+    for s in range(s_w):   # [m, cw] per step; never an [m, S, cw] buffer
+        out = out | jnp.where(word[:, s:s + 1] == cols,
+                              bit[:, s:s + 1], jnp.uint32(0))
+    return out
 
 
 def class_has_genome(colors: ColorStore, cls: jnp.ndarray, g) -> jnp.ndarray:
@@ -274,7 +277,7 @@ def _probe_main(table: KmerTable, skeys, svalid, use_pallas: bool):
 
 
 def _color_update(table: KmerTable, colors: ColorStore, found, idx,
-                  genome_id):
+                  genome_id, affected_budget: int | None = None):
     """Add genome g to the color class of every found k-mer.
 
     The batched ``modify_annotations`` (src/retrieveAnnotation.c:232): rows
@@ -283,41 +286,61 @@ def _color_update(table: KmerTable, colors: ColorStore, found, idx,
     in the small pool while the result still fits S ids, in the dense pool
     when a small class overflows (the in-memory mode transition of
     ``modify_mode_annotation`` src/annotation.c:658) or the parent is dense.
-    Returns (color_ref, colors, n_new_small, n_new_dense).  The
-    affected->new-class mapping rides the class sort as a carried payload
-    (no second searchsorted).
+    Returns (color_ref, colors, n_new_small, n_new_dense).
+
+    ``affected_budget`` (static, default m): a host-guaranteed upper bound
+    on the number of DISTINCT classes in the batch — at most the class
+    count before the flush, typically orders of magnitude below m.  All
+    per-class work (pool gathers, membership, row construction, pool
+    scatters) runs at budget size after one compaction scatter; only the
+    class sort, the compaction, and the final remap touch m-sized arrays.
+    Profiled at 8M rows: 1253 ms (every step m-sized) -> ~220 ms.
     """
     m = found.shape[0]
+    a = m if affected_budget is None else min(affected_budget, m)
     s_w = colors.small_width
     cw = colors.width
     g = jnp.asarray(genome_id, dtype=jnp.int32)
     g_word = (g >> 5).astype(jnp.int32)
     g_bit = (g & 31).astype(jnp.uint32)
 
+    # Sort rows by class id, carrying the source position; unique classes =
+    # run heads.  (Membership of g is per-CLASS, so it is computed after
+    # compaction, not per row.)
     cls = jnp.where(found, table.color_ref[idx], INT32_MAX)
-    has_g = class_has_genome(colors, cls, g)
-    affected = found & ~has_g
-
-    # Unique affected classes; each batch row carries its position so the
-    # new class id can be scattered straight back.
-    aff = jnp.where(affected, cls, INT32_MAX)
     pos0 = jnp.arange(m, dtype=jnp.int32)
-    aff_sorted, src = jax.lax.sort((aff, pos0), num_keys=1)
+    cls_sorted, src = jax.lax.sort((cls, pos0), num_keys=1)
     keep = jnp.concatenate([jnp.ones((1,), bool),
-                            aff_sorted[1:] != aff_sorted[:-1]])
-    keep = keep & (aff_sorted != INT32_MAX)
+                            cls_sorted[1:] != cls_sorted[:-1]])
+    keep = keep & (cls_sorted != INT32_MAX)
     run = jnp.cumsum(keep.astype(jnp.int32)) - 1   # unique-class rank per row
-    live = aff_sorted != INT32_MAX
+    live = cls_sorted != INT32_MAX
+    n_classes = jnp.sum(keep.astype(jnp.int32))    # must be <= a (host bound)
 
-    # Classify each kept class: dense parent, small parent that overflows
-    # (count == S), or small parent with room.
-    k_dense = keep & ((aff_sorted & DENSE_TAG) != 0)
-    k_small = keep & ~k_dense
-    base_small = colors.ids[jnp.where(k_small, aff_sorted, 0)]   # [m, S]
+    # Compact the distinct classes into [a]: u_cls[r] = r-th distinct class.
+    u_cls = jnp.full((a,), INT32_MAX, dtype=jnp.int32).at[
+        jnp.where(keep, run, a)].set(cls_sorted, mode="drop")
+
+    # ---- per-class work at budget size ----
+    u_live = u_cls != INT32_MAX
+    u_dense = u_live & ((u_cls & DENSE_TAG) != 0)
+    u_small = u_live & ~u_dense
+    base_small = colors.ids[jnp.where(u_small, u_cls, 0)]        # [a, S]
+    parent_dense = colors.rows[jnp.where(u_dense, u_cls & ~DENSE_TAG, 0)]
+    small_has = jnp.any(base_small == g, axis=1)
+    # select word g_word of each dense parent (traced scalar column index:
+    # static cw-step select, no gather)
+    dense_word = jnp.zeros((a,), dtype=jnp.uint32)
+    for c in range(cw):
+        dense_word = jnp.where(g_word == c, parent_dense[:, c], dense_word)
+    dense_has = ((dense_word >> g_bit) & 1) == 1
+    has_g = jnp.where(u_dense, dense_has, small_has & u_small)
+    u_aff = u_live & ~has_g                        # classes gaining g
+
     scount = jnp.sum((base_small != EMPTY_ID).astype(jnp.int32), axis=1)
-    overflow = k_small & (scount >= s_w)
-    new_small = k_small & (scount < s_w)
-    new_dense = k_dense | overflow
+    overflow = u_aff & u_small & (scount >= s_w)
+    new_small = u_aff & u_small & (scount < s_w)
+    new_dense = u_aff & (u_dense | overflow)
     r_small = jnp.cumsum(new_small.astype(jnp.int32)) - 1
     r_dense = jnp.cumsum(new_dense.astype(jnp.int32)) - 1
     n_new_small = jnp.sum(new_small.astype(jnp.int32))
@@ -329,39 +352,39 @@ def _color_update(table: KmerTable, colors: ColorStore, found, idx,
     appended = jnp.where(iota_s[None, :] == scount[:, None], g, base_small)
     dest_small = jnp.where(new_small, colors.sd + r_small,
                            colors.small_capacity)
-    # Per-column scatters: a 2-D row scatter is ~9x slower on TPU than one
-    # 1-D scatter per column (measured 670 ms vs 73 ms at 8M rows).
     ids_out = colors.ids
     for c in range(s_w):
         ids_out = ids_out.at[dest_small, c].set(appended[:, c], mode="drop")
 
     # New dense rows: dense parent | {g}, or overflowing small row expanded.
-    parent_dense = colors.rows[jnp.where(k_dense, aff_sorted & ~DENSE_TAG, 0)]
     gbit_col = (jnp.uint32(1) << g_bit) * (
         jnp.arange(cw, dtype=jnp.int32)[None, :] == g_word
     ).astype(jnp.uint32)
     overflow_bm = ids_to_bitmap(
         jnp.where(overflow[:, None], base_small, EMPTY_ID), cw)
-    dense_new = (jnp.where(k_dense[:, None], parent_dense, overflow_bm)
+    dense_new = (jnp.where(u_dense[:, None], parent_dense, overflow_bm)
                  | gbit_col)
     dest_dense = jnp.where(new_dense, colors.dd + r_dense, colors.capacity)
     rows_out = colors.rows
     for c in range(cw):
         rows_out = rows_out.at[dest_dense, c].set(dense_new[:, c], mode="drop")
 
-    # New (tagged) class id per kept slot; every live row remaps through its
-    # run head, then through the carried source position to its table row.
-    new_id = jnp.where(new_small, colors.sd + r_small,
-                       (colors.dd + r_dense) | DENSE_TAG)
-    slot_id = jnp.full((m,), INT32_MAX, dtype=jnp.int32).at[
-        jnp.where(keep, run, m)].set(new_id, mode="drop")
-    per_row_id = slot_id[jnp.clip(run, 0, m - 1)]
-    table_row = jnp.where(live, idx[src], table.capacity)
+    # Per-class new (tagged) id; unaffected classes keep their old id.
+    new_id = jnp.where(
+        u_aff,
+        jnp.where(new_small, colors.sd + r_small,
+                  (colors.dd + r_dense) | DENSE_TAG),
+        u_cls)
+
+    # ---- remap m-sized rows through their run head ----
+    per_row_id = new_id[jnp.clip(run, 0, a - 1)]
+    row_changed = live & u_aff[jnp.clip(run, 0, a - 1)]
+    table_row = jnp.where(row_changed, idx[src], table.capacity)
     color_ref = table.color_ref.at[table_row].set(per_row_id, mode="drop")
     colors = ColorStore(ids=ids_out, rows=rows_out,
                         sd=colors.sd + n_new_small,
                         dd=colors.dd + n_new_dense)
-    return color_ref, colors, n_new_small, n_new_dense
+    return color_ref, colors, n_new_small, n_new_dense, n_classes
 
 
 def insert_sorted_impl(table: KmerTable, colors: ColorStore,
@@ -370,7 +393,8 @@ def insert_sorted_impl(table: KmerTable, colors: ColorStore,
                        skeep: jnp.ndarray,
                        genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
                        log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
-                       use_pallas: bool = False, use_bloom: bool = True):
+                       use_pallas: bool = False, use_bloom: bool = True,
+                       affected_budget: int | None = None):
     """Insert a KEY-SORTED batch for genome ``genome_id``.
 
     The functional analogue of the reference's hot loop ``insertKmers`` ->
@@ -401,8 +425,12 @@ def insert_sorted_impl(table: KmerTable, colors: ColorStore,
     found = found & svalid
 
     # 2. Color update for found k-mers whose class lacks genome g.
-    color_ref, colors, n_new_small, n_new_dense = _color_update(
-        table, colors, found & skeep, idx, genome_id)
+    # ``affected_budget`` is the host's bound on distinct classes in the
+    # batch (<= class count before the flush) — all per-class work runs at
+    # that size (see _color_update).
+    color_ref, colors, n_new_small, n_new_dense, n_classes = _color_update(
+        table, colors, found & skeep, idx, genome_id,
+        affected_budget=affected_budget)
 
     # 3. Merge new k-mers (valid, first-occurrence, not found) into the
     #    table via one masked multi-operand sort — no compaction scatter.
@@ -433,6 +461,7 @@ def insert_sorted_impl(table: KmerTable, colors: ColorStore,
              "colored": n_new_small + n_new_dense,
              "colored_small": n_new_small, "colored_dense": n_new_dense,
              "n": merged_n, "sd": colors.sd, "dd": colors.dd,
+             "n_classes_seen": n_classes,
              "small_full": count_small_full(colors)}
     return table, colors, bloom_bits, stats
 
@@ -441,7 +470,8 @@ def insert_batch_impl(table: KmerTable, colors: ColorStore, bloom_bits: jnp.ndar
                       batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
                       genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
                       log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
-                      use_pallas: bool = False, use_bloom: bool = True):
+                      use_pallas: bool = False, use_bloom: bool = True,
+                      affected_budget: int | None = None):
     """Immediate insert of an unsorted batch: sort + :func:`insert_sorted_impl`.
 
     Used by the sharded per-chunk path and as the compile-check entry; the
@@ -452,11 +482,13 @@ def insert_batch_impl(table: KmerTable, colors: ColorStore, bloom_bits: jnp.ndar
     return insert_sorted_impl(table, colors, bloom_bits, skeys, svalid, skeep,
                               genome_id, singleton_cls, log2_bloom,
                               seed1, seed2, use_pallas=use_pallas,
-                              use_bloom=use_bloom)
+                              use_bloom=use_bloom,
+                              affected_budget=affected_budget)
 
 
 insert_batch = functools.partial(
-    jax.jit, static_argnames=("log2_bloom", "use_pallas", "use_bloom"),
+    jax.jit, static_argnames=("log2_bloom", "use_pallas", "use_bloom",
+                              "affected_budget"),
     donate_argnums=(0, 1, 2)
 )(insert_batch_impl)
 
@@ -517,11 +549,32 @@ def buffer_batch_impl(runs: PendingRuns, batch_keys: jnp.ndarray,
 buffer_batch = functools.partial(jax.jit, donate_argnums=(0,))(buffer_batch_impl)
 
 
+def buffer_bulk_impl(runs: PendingRuns, batch_keys: jnp.ndarray,
+                     batch_valid: jnp.ndarray, n_new_runs: int) -> PendingRuns:
+    """Append a whole multiple-of-run_size batch as ``n_new_runs`` runs in
+    ONE program (vs one dispatch per run — per-dispatch latency over remote
+    links makes the difference; caller checks used + n_new_runs <= R)."""
+    m_run = runs.run_size
+    w = runs.keys.shape[2]
+    rk = jax.lax.dynamic_update_slice(
+        runs.keys, batch_keys.reshape(n_new_runs, m_run, w),
+        (runs.used, 0, 0))
+    rv = jax.lax.dynamic_update_slice(
+        runs.valid, batch_valid.reshape(n_new_runs, m_run), (runs.used, 0))
+    return PendingRuns(keys=rk, valid=rv, used=runs.used + n_new_runs)
+
+
+buffer_bulk = functools.partial(
+    jax.jit, static_argnames=("n_new_runs",), donate_argnums=(0,)
+)(buffer_bulk_impl)
+
+
 def flush_genome_impl(table: KmerTable, colors: ColorStore, runs: PendingRuns,
                       bloom_bits: jnp.ndarray, genome_id: jnp.ndarray,
                       singleton_cls: jnp.ndarray, log2_bloom: int,
                       seed1, seed2, use_pallas: bool = False,
-                      use_bloom: bool = True):
+                      use_bloom: bool = True,
+                      affected_budget: int | None = None):
     """Flush the whole run buffer into the table: ONE sorted-batch insert.
 
     Caller contract: table capacity >= n + total pending; small pool has
@@ -538,28 +591,38 @@ def flush_genome_impl(table: KmerTable, colors: ColorStore, runs: PendingRuns,
     table, colors, bloom_bits, stats = insert_sorted_impl(
         table, colors, bloom_bits, skeys, svalid, skeep,
         genome_id, singleton_cls, log2_bloom, seed1, seed2,
-        use_pallas=use_pallas, use_bloom=use_bloom)
+        use_pallas=use_pallas, use_bloom=use_bloom,
+        affected_budget=affected_budget)
     return table, colors, bloom_bits, empty_runs(r_n, m_run, w), stats
 
 
 flush_genome = functools.partial(
-    jax.jit, static_argnames=("log2_bloom", "use_pallas", "use_bloom"),
+    jax.jit, static_argnames=("log2_bloom", "use_pallas", "use_bloom",
+                              "affected_budget"),
     donate_argnums=(0, 1, 2, 3)
 )(flush_genome_impl)
 
 
 def _dedup_pool(mat: jnp.ndarray, live: jnp.ndarray, pad_value):
-    """Sort-unique the live rows of one pool.
+    """Dedup + GC the live rows of one pool, PRESERVING survivor order.
 
-    Returns (new_mat, remap int32[cap] old->new (-1 dead), d_new).  A leading
-    "dead" sort key keeps dead rows strictly after live rows so a live
-    all-sentinel row can never be swallowed by the dead-row run.
+    Returns (new_mat, remap int32[cap] old->new (-1 dead), d_new).
+    Duplicate content collapses onto the occurrence with the smallest old
+    id; survivors keep their relative order, so when nothing died and
+    nothing was duplicated the remap is the IDENTITY — the caller detects
+    that and skips the O(table) color_ref rewrite entirely (the rewrite's
+    16M-row gather costs ~170 ms; append-only genome flows hit the identity
+    case almost every time).
+
+    A leading "dead" sort key keeps dead rows strictly after live rows so a
+    live all-sentinel row can never be swallowed by the dead-row run; the
+    trailing old-id key makes the smallest old id each run's head.
     """
     cap, ncol = mat.shape
     dead = (~live).astype(jnp.uint32)
     old_id = jnp.arange(cap, dtype=jnp.int32)
     operands = (dead,) + tuple(mat[:, i] for i in range(ncol)) + (old_id,)
-    out = jax.lax.sort(operands, num_keys=ncol + 1)
+    out = jax.lax.sort(operands, num_keys=ncol + 2)
     dead_sorted = out[0]
     skeys = jnp.stack(out[1:1 + ncol], axis=-1)
     sid = out[1 + ncol]
@@ -568,15 +631,36 @@ def _dedup_pool(mat: jnp.ndarray, live: jnp.ndarray, pad_value):
         jnp.any(skeys[1:] != skeys[:-1], axis=-1)
         | (dead_sorted[1:] != dead_sorted[:-1]),
     ])
-    keep = boundary & (dead_sorted == 0)
-    # New id of each *kept* row; duplicates inherit the id of their run head.
-    run_head = jnp.cumsum(keep.astype(jnp.int32)) - 1
-    d_new = jnp.sum(keep.astype(jnp.int32))
-    new_mat = jnp.full_like(mat, pad_value).at[
-        jnp.where(keep, run_head, cap)].set(skeys, mode="drop")
-    remap = jnp.full((cap + 1,), -1, dtype=jnp.int32).at[
-        jnp.where(dead_sorted == 0, sid, cap)].set(run_head, mode="drop")
-    return new_mat, remap[:cap], d_new
+    keep_sorted = boundary & (dead_sorted == 0)
+    # head_of[old] = old id of the content run head (the survivor a
+    # duplicate collapses onto): runs are contiguous in sorted space, so
+    # index heads by run number and forward-fill through run_idx.
+    run_idx = jnp.cumsum(boundary.astype(jnp.int32)) - 1
+    head_by_run = jnp.full((cap,), -1, jnp.int32).at[
+        jnp.where(keep_sorted, run_idx, cap)].set(sid, mode="drop")
+    head_of_sorted = head_by_run[jnp.clip(run_idx, 0, cap - 1)]
+
+    # survivors in OLD-id space
+    keep_old = jnp.zeros((cap,), bool).at[
+        jnp.where(keep_sorted, sid, cap)].set(True, mode="drop")
+    new_id_old = jnp.cumsum(keep_old.astype(jnp.int32)) - 1   # rank by old id
+    d_new = jnp.sum(keep_old.astype(jnp.int32))
+
+    # remap[old] = new id of its content head (-1 dead)
+    head_of = jnp.full((cap,), -1, jnp.int32).at[
+        jnp.where(dead_sorted == 0, sid, cap)].set(head_of_sorted, mode="drop")
+    remap = jnp.where(head_of >= 0,
+                      new_id_old[jnp.clip(head_of, 0, cap - 1)], -1)
+
+    # new pool: survivor c moves old row c -> new_id_old[c]
+    old_of_new = jnp.zeros((cap,), jnp.int32).at[
+        jnp.where(keep_old, new_id_old, cap)].set(old_id, mode="drop")
+    gathered = mat[old_of_new]
+    new_mat = jnp.where(
+        (jnp.arange(cap, dtype=jnp.int32) < d_new)[:, None],
+        gathered, jnp.full_like(mat, pad_value))
+    identity = jnp.all(jnp.where(live, remap == old_id, True))
+    return new_mat, remap, d_new, identity
 
 
 @jax.jit
@@ -604,15 +688,21 @@ def compress_colors(table: KmerTable, colors: ColorStore):
     live_dense = jnp.zeros((dcap,), dtype=bool).at[
         jnp.where(ref_dense, cref & ~DENSE_TAG, dcap)].set(True, mode="drop")
 
-    new_ids, remap_s, sd_new = _dedup_pool(colors.ids, live_small,
-                                           jnp.int32(EMPTY_ID))
-    new_rows, remap_d, dd_new = _dedup_pool(colors.rows, live_dense,
-                                            jnp.uint32(0))
+    new_ids, remap_s, sd_new, id_s = _dedup_pool(colors.ids, live_small,
+                                                 jnp.int32(EMPTY_ID))
+    new_rows, remap_d, dd_new, id_d = _dedup_pool(colors.rows, live_dense,
+                                                  jnp.uint32(0))
 
-    cref_new = jnp.where(
-        ref_dense,
-        remap_d[jnp.where(ref_dense, cref & ~DENSE_TAG, 0)] | DENSE_TAG,
-        jnp.where(ref_small, remap_s[jnp.where(ref_small, cref, 0)], -1))
+    # Identity fast path: nothing died, nothing duplicated (the common
+    # append-only case) -> every live ref already points at its final id,
+    # so skip the O(table) gather+rewrite of color_ref (~170 ms at 16M).
+    def _rewrite(cref):
+        return jnp.where(
+            ref_dense,
+            remap_d[jnp.where(ref_dense, cref & ~DENSE_TAG, 0)] | DENSE_TAG,
+            jnp.where(ref_small, remap_s[jnp.where(ref_small, cref, 0)], -1))
+
+    cref_new = jax.lax.cond(id_s & id_d, lambda c: c, _rewrite, cref)
     table = dataclasses.replace(table, color_ref=cref_new)
     colors = ColorStore(ids=new_ids, rows=new_rows, sd=sd_new, dd=dd_new)
     stats = {"sd": sd_new, "dd": dd_new,

@@ -120,7 +120,7 @@ def _route_buffer_body(run_keys, run_valid, run_used, drop_acc, batch, valid,
 def _flush_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
                 run_keys, run_valid, run_used, drop_acc, gid, singleton,
                 seeds, *, log2_bloom: int, use_pallas: bool,
-                use_bloom: bool = True):
+                use_bloom: bool = True, affected_budget: int | None = None):
     table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
                           n=n[0], bucket_starts=starts[0])
     colors = tbl.ColorStore(ids=ids[0], rows=rows[0], sd=sd[0], dd=dd[0])
@@ -129,7 +129,7 @@ def _flush_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
     table, colors, bloom, runs, stats = tbl.flush_genome_impl(
         table, colors, runs, bloom_bits[0], gid, singleton[0],
         log2_bloom, seeds[0], seeds[1], use_pallas=use_pallas,
-        use_bloom=use_bloom)
+        use_bloom=use_bloom, affected_budget=affected_budget)
     totals = {
         "new": jax.lax.psum(stats["new"], AXIS),
         "colored": jax.lax.psum(stats["colored"], AXIS),
@@ -137,6 +137,7 @@ def _flush_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
     }
     per_shard = {"colored_small": stats["colored_small"][None],
                  "colored_dense": stats["colored_dense"][None],
+                 "n_classes_seen": stats["n_classes_seen"][None],
                  "small_full": stats["small_full"][None]}
     return (table.keys[None], table.color_ref[None], table.flags[None],
             table.n[None], table.bucket_starts[None], colors.ids[None],
@@ -465,14 +466,19 @@ class ShardedCDBG:
         seeds = jnp.asarray(
             [self.config.bloom_seed1, self.config.bloom_seed2],
             dtype=jnp.uint32)
+        # Per-shard distinct-class bound for the color update's compaction
+        # (see models/table.py _color_update affected_budget).
+        budget = max(2048, _next_pow2(min(r * m_loc,
+                                          self._sd_max + self._dd_max)))
         fn = self._cached(
             "flush", (self.keys.shape, self.ids.shape, self.rows.shape,
-                      self.run_keys.shape, self._pallas_eligible()),
+                      self.run_keys.shape, self._pallas_eligible(), budget),
             lambda: jax.shard_map(
                 functools.partial(
                     _flush_body, log2_bloom=self.config.bloom_log2_bits,
                     use_pallas=self._pallas_eligible(),
-                    use_bloom=self.config.bloom_enabled),
+                    use_bloom=self.config.bloom_enabled,
+                    affected_budget=budget),
                 mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS),) * 14 + (P(), P(AXIS), P()),
                 out_specs=((P(AXIS),) * 13 + (P(AXIS), P(), P(AXIS)))))
@@ -491,6 +497,10 @@ class ShardedCDBG:
         self._sd_max = int(np.asarray(jax.device_get(self.sd)).max())
         self._dd_max = int(np.asarray(jax.device_get(self.dd)).max())
         self._small_full_max = int(np.asarray(ps["small_full"]).max())
+        if int(np.asarray(ps["n_classes_seen"]).max()) > budget:
+            raise RuntimeError(
+                "affected-class budget violated on a shard "
+                f"({int(np.asarray(ps['n_classes_seen']).max())} > {budget})")
         dropped = int(np.asarray(t["dropped"]).max())
         retry = self._since_flush
         self._since_flush = []

@@ -96,19 +96,61 @@ class FastxStream:
         return codec.kmerize_sequence(fragment, self.k)
 
     def batches(self):
-        """Yield (packed uint32[N, W], valid bool[N]) per sequence fragment."""
+        """Yield (packed uint32[N, W], valid bool[N]) per k-merized fragment.
+
+        Sequence lines accumulate in ``pending`` and are k-merized in bulk
+        at record boundaries and chunk ends (one native-parser call per
+        ~chunk, not per line — per-call overhead would otherwise dominate
+        on 60-80 char FASTA lines).
+        """
         k = self.k
         fmt = None          # ">" or "@"
-        state = "header"    # header | seq | plus | qual
+        state = "header"    # header | seq | qual
         carry = b""         # last k-1 bases of the current record
+        pending: list[bytes] = []   # unk-merized seq lines of this record
         seq_len = 0         # FASTQ: bases seen in the current record
         qual_left = 0       # FASTQ: quality bytes still expected
         line_frag = b""     # partial trailing line of the previous chunk
+        out = None
+
+        def drain(end_of_record):
+            """k-merize carry+pending; update carry; return rows or None."""
+            nonlocal carry, pending
+            if not pending:
+                if end_of_record:
+                    carry = b""
+                return None
+            fragment = carry + b"".join(pending)
+            pending = []
+            if end_of_record:
+                carry = b""
+            elif len(fragment) >= k:
+                carry = fragment[-(k - 1):] if k > 1 else b""
+            else:
+                carry = fragment
+                return None
+            if len(fragment) >= k:
+                return self._kmerize(fragment)
+            return None
+
         with open(self.path, "rb") as f:
             while True:
                 chunk = f.read(self.chunk_bytes)
                 final = not chunk
                 data = line_frag + chunk
+                # Fast path: a FASTA chunk with no '>' anywhere is pure
+                # sequence of the current record — strip newlines in one C
+                # call instead of a Python line loop (long-genome chunks are
+                # the throughput case; '>' can only start a line, and a
+                # header line split across chunks still contains '>').
+                if (fmt == b">" and state == "seq" and not final
+                        and b">" not in data):
+                    line_frag = b""
+                    pending.append(data.translate(None, b"\r\n"))
+                    out = drain(end_of_record=False)
+                    if out is not None:
+                        yield out
+                    continue
                 if final:
                     lines = data.split(b"\n") if data else []
                     line_frag = b""
@@ -134,22 +176,25 @@ class FastxStream:
                     if state in ("header", "seq") and line[:1] == fmt:
                         # new record header ('@' in quality is unreachable:
                         # state == "qual" consumed exact lengths above)
-                        carry = b""
+                        out = drain(end_of_record=True)
+                        if out is not None:
+                            yield out
                         seq_len = 0
                         state = "seq"
                         continue
                     if fmt == b"@" and line[:1] == b"+" and state == "seq":
+                        out = drain(end_of_record=True)
+                        if out is not None:
+                            yield out
                         qual_left = seq_len
                         state = "qual" if qual_left > 0 else "header"
                         continue
                     if state == "seq" and line:
                         seq_len += len(line)
-                        fragment = carry + line
-                        if len(fragment) >= k:
-                            yield self._kmerize(fragment)
-                            carry = fragment[-(k - 1):] if k > 1 else b""
-                        else:
-                            carry = fragment
+                        pending.append(line)
+                out = drain(end_of_record=False)   # chunk boundary
+                if out is not None:
+                    yield out
                 if final:
                     break
 
