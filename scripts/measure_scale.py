@@ -51,7 +51,7 @@ def section_config5():
     cfg = BFTConfig(k=k, initial_capacity=1 << 24,
                     initial_color_capacity=1 << 16,
                     bloom_log2_bits=24, batch_size=1 << 17, pending_runs=1,
-                    treshold_compression=1)
+                    treshold_compression=4)
     dbg = ColoredDBG(cfg)
     # Pre-size the color bitmap width for the final genome count: the flush
     # program is shape-specialized on cw, so growing width on the fly would
@@ -83,7 +83,7 @@ def section_config5():
         dbg.start_genome(f"g{g}")
         dbg.insert_kmers_packed(batch, valid)
         dbg.end_genome()   # flush + per-genome color compression
-        if g < 3 or g % 10 == 9:
+        if g < 3 or g % 50 == 49:
             log(f"  genome {g+1}/{n_genomes}: n={dbg.nb_kmers} "
                 f"d={dbg.nb_color_classes} t={time.monotonic()-t0:.0f}s")
     dt = time.monotonic() - t0
