@@ -55,11 +55,18 @@ class BFTConfig:
         is the top ``shard_bits`` bits of the first packed word (the analogue
         of the reference trie's first 9-char prefix level as hash partition).
       batch_size: host->device ingestion batch size in k-mers.
-      pending_runs: run-buffer depth of the LSM-lite insert path — how many
-        raw batches accumulate before a forced merge into the main table
-        (the merge always runs at end of genome).  The TPU analogue of the
-        reference's UC capacity before a burst (NB_KMERS_PER_UC=255,
+      pending_runs: buffer depth of the window-buffered insert path — how
+        many append-chunks worth of raw rows accumulate before a forced
+        flush into the main table.  The TPU analogue of the reference's UC
+        capacity before a burst (NB_KMERS_PER_UC=255,
         include/default_param.h:17-31).
+      genome_window: how many CONSECUTIVE genomes may share one window
+        flush (multiple of 32; the flush's per-k-mer genome-set masks are
+        this many bits).  The reference pays its insert cost per k-mer
+        (src/insertNode.c:18) so many small genomes cost the same as one
+        big one; the batched design pays a fixed cost per FLUSH, and the
+        window amortizes it over up to this many genomes — the decisive
+        knob for pan-genome builds of many small strains.
       bloom_enabled: maintain the per-shard Bloom plane on insert.  Unlike
         the reference (whose pointer walk is gated by the BF probe,
         src/presenceNode.c:1335-1362), the sorted-table design answers exact
@@ -81,6 +88,7 @@ class BFTConfig:
     shard_bits: int = 0
     batch_size: int = 1 << 20
     pending_runs: int = 8
+    genome_window: int = 256
     canonical: bool = False
     bloom_enabled: bool = True
 
@@ -94,6 +102,9 @@ class BFTConfig:
                 raise ValueError(f"{name} must be a power of two, got {v}")
         if not (1 <= self.color_small_width <= 256):
             raise ValueError("color_small_width must be in [1, 256]")
+        if self.genome_window < 32 or self.genome_window % 32:
+            raise ValueError("genome_window must be a positive multiple "
+                             "of 32")
 
     @property
     def words(self) -> int:

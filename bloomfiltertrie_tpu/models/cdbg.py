@@ -54,11 +54,6 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length() if x > 1 else 1
 
 
-@functools.partial(jax.jit, donate_argnums=(0,))
-def _append_singleton(colors, genome_id):
-    return tbl.append_singleton_class(colors, genome_id)
-
-
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
 def _query_colors(table_keys, n, starts, color_ref, colors, queries, valid,
                   use_pallas=False):
@@ -144,13 +139,16 @@ class ColoredDBG:
         self._sd = 0          # host mirror of colors.sd (small classes)
         self._dd = 0          # host mirror of colors.dd (dense classes)
         self._small_full = 0  # live small classes at exactly S genomes
-        self._cur_singleton = None   # class id of {current genome}
         self._genomes_since_compress = 0
-        # Run-buffered insert state (tbl.PendingRuns); created lazily on the
-        # first insert so the run size can adapt to the actual input scale.
-        self.runs = None
-        self._pending_used = 0
-        self._run_size = None
+        # Window-buffered insert state (tbl.PendingBuffer); created lazily on
+        # the first insert so the chunk size can adapt to the input scale.
+        # Rows from up to ``config.genome_window`` consecutive genomes share
+        # ONE flush (the multi-genome window flush, tbl.flush_stage_a/b).
+        self.buf = None
+        self._buf_used = 0        # host-tracked rows in use
+        self._chunk = None        # append chunk row size
+        self._window_start = None  # absolute gid of the window's 1st genome
+        self._cur_gid = None      # open genome id (None between genomes)
         self.marking_enabled = False
         # Streaming Pallas kernels need a TPU backend and TILE-aligned
         # capacity (pow2 >= 2048 is always TILE-aligned).
@@ -228,30 +226,55 @@ class ColoredDBG:
     # genome insertion (reference insert path, SURVEY §4.1)
     # ------------------------------------------------------------------
     def start_genome(self, name: str) -> int:
-        """Open a new genome; id = insertion order (src/file_io.c:124-125)."""
+        """Open a new genome; id = insertion order (src/file_io.c:124-125).
+
+        Pure host bookkeeping — no device call.  If the pending window would
+        exceed ``config.genome_window`` genomes, the buffer flushes first
+        (the flush's genome-set masks are ``genome_window`` bits wide).
+        """
         gid = len(self.genome_names)
+        if (self._window_start is not None
+                and gid - self._window_start >= self.config.genome_window):
+            self.flush()
         self.genome_names.append(name)
-        self._ensure_colors(1, 0, genomes=gid + 1)
-        # The singleton class id is deterministic (= the small-class count
-        # before the append, which the host mirrors); avoiding the
-        # device_get here removes one host<->device round trip per genome —
-        # material over a high-latency link.
-        self._cur_singleton = self._sd
-        self.colors, cls = _append_singleton(
-            self.colors, jnp.asarray(gid, dtype=jnp.int32))
-        if _debug_invariants():
-            assert int(jax.device_get(cls)) == self._cur_singleton
-        self._sd += 1
+        self._ensure_colors(0, 0, genomes=gid + 1)
+        self._cur_gid = gid
         return gid
+
+    def _ensure_buffer(self, first_batch_rows: int):
+        if self.buf is None:
+            self._chunk = min(self.config.batch_size,
+                              max(_next_pow2(first_batch_rows), 256))
+            self.buf = tbl.empty_buffer(
+                self.config.pending_runs * self._chunk, self.config.words)
+            self._buf_used = 0
+
+    def _append_chunk(self, chunk, vchunk):
+        """Append one fixed-shape chunk of the CURRENT genome at the
+        host-tracked offset (flushing first if the buffer would overflow —
+        a mid-genome flush restarts the window at the current genome)."""
+        if self._buf_used + chunk.shape[0] > self.buf.capacity:
+            self.flush()
+            self._ensure_buffer(chunk.shape[0])
+        if self._window_start is None:
+            self._window_start = self._cur_gid
+        rel = self._cur_gid - self._window_start
+        self.buf = tbl.buffer_append(
+            self.buf, jnp.asarray(chunk), jnp.asarray(vchunk),
+            jnp.asarray(rel, jnp.int32),
+            jnp.asarray(self._buf_used, jnp.int32))
+        self._buf_used += chunk.shape[0]
 
     def insert_kmers_packed(self, packed, valid=None, sync_stats: bool = True):
         """Insert packed k-mers [M, W] into the current genome, batched.
 
-        Run-buffered fast path: each batch is a raw append into the pending
-        run buffer (two dynamic_update_slices — microseconds); ALL insert
-        work (dedup, probe, color update, merge) happens once per genome /
-        full buffer in :meth:`flush`.  Every read API flushes first, so
-        observable semantics are identical to immediate insertion.
+        Window-buffered fast path: each batch is a raw append into the
+        pending buffer (three dynamic_update_slices — microseconds), tagged
+        with the window-relative genome id; ALL insert work (dedup, probe,
+        color update, merge) happens once per ``config.genome_window``
+        genomes / full buffer in :meth:`flush`.  Every read API flushes
+        first, so observable semantics are identical to immediate insertion
+        (the reference's per-k-mer loop, src/insertNode.c:18).
 
         ``packed`` may be a NumPy array or a device-resident jax array (the
         latter avoids host->device transfer — important when PCIe/tunnel
@@ -260,32 +283,26 @@ class ColoredDBG:
         per-batch host sync or capacity hazard by construction.
         """
         del sync_stats
-        if self._cur_singleton is None:
+        if self._cur_gid is None:
             raise RuntimeError("call start_genome() before inserting k-mers")
         on_device = isinstance(packed, jax.Array)
         if not on_device:
             packed = np.asarray(packed, dtype=np.uint32)
         if valid is None:
             valid = (jnp if on_device else np).ones(packed.shape[0], dtype=bool)
-        if self.runs is None:
-            self._run_size = min(self.config.batch_size,
-                                 max(_next_pow2(packed.shape[0]), 256))
-            self.runs = tbl.empty_runs(self.config.pending_runs,
-                                       self._run_size, self.config.words)
-        bsz = self._run_size
+        self._ensure_buffer(packed.shape[0])
+        bsz = self._chunk
         n_in = packed.shape[0]
-        # Bulk fast path: a device-resident batch that is a whole number of
-        # runs appends in ONE dispatch (the per-run loop costs one dispatch
-        # per run — ~25 ms each over a remote device link).
-        if on_device and n_in % bsz == 0:
-            n_runs = n_in // bsz
-            if self._pending_used + n_runs > self.config.pending_runs:
-                self.flush()
-            if self._pending_used + n_runs <= self.config.pending_runs:
-                self.runs = tbl.buffer_bulk(
-                    self.runs, packed, jnp.asarray(valid), n_new_runs=n_runs)
-                self._pending_used += n_runs
-                return
+        # Bulk fast path: a device-resident batch appends in ONE dispatch
+        # (pow2-padded to bound compiles; the per-chunk loop costs one
+        # dispatch per chunk — ~25 ms each over a remote device link).
+        if on_device and n_in <= self.buf.capacity:
+            pad = _next_pow2(n_in) - n_in
+            if pad:
+                packed = jnp.pad(packed, ((0, pad), (0, 0)))
+                valid = jnp.pad(jnp.asarray(valid, dtype=bool), (0, pad))
+            self._append_chunk(packed, valid)
+            return
         for off in range(0, n_in, bsz):
             if on_device and off + bsz <= n_in:
                 # Traced-offset slice: one compiled program for every offset
@@ -302,69 +319,105 @@ class ColoredDBG:
                     pad = bsz - chunk.shape[0]
                     chunk = xp.pad(chunk, ((0, pad), (0, 0)))
                     vchunk = xp.pad(vchunk, (0, pad))
-            if self._pending_used >= self.config.pending_runs:
-                self.flush()
-            self.runs = tbl.buffer_batch(
-                self.runs, jnp.asarray(chunk), jnp.asarray(vchunk))
-            self._pending_used += 1
+            self._append_chunk(chunk, vchunk)
+
+    def insert_genomes_bulk(self, names: list[str], packed, row_gid,
+                            valid=None):
+        """Register ``names`` and append ALL their rows in one device call.
+
+        ``row_gid`` int[M]: per-row index into ``names`` (0-based).  The bulk
+        analogue of the reference's per-genome file loop
+        (insert_Genomes_from_KmerFiles src/file_io.c:89) for callers that
+        already hold many genomes' k-mers device-resident — one dispatch
+        ingests up to ``genome_window`` genomes.
+        """
+        if len(names) > self.config.genome_window:
+            raise ValueError("insert_genomes_bulk: more names than "
+                             "genome_window; split the call")
+        base = len(self.genome_names)
+        if (self._window_start is not None
+                and base + len(names) - self._window_start
+                > self.config.genome_window):
+            self.flush()
+        self.genome_names.extend(names)
+        self._ensure_colors(0, 0, genomes=base + len(names))
+        self._cur_gid = base + len(names) - 1
+        packed = jnp.asarray(packed, dtype=jnp.uint32)
+        n_in = packed.shape[0]
+        if valid is None:
+            valid = jnp.ones((n_in,), dtype=bool)
+        self._ensure_buffer(n_in)
+        if self._buf_used + n_in > self.buf.capacity:
+            self.flush()
+            self._ensure_buffer(n_in)
+        if n_in > self.buf.capacity:
+            raise ValueError("bulk batch exceeds buffer capacity; raise "
+                             "pending_runs/batch_size or split the call")
+        if self._window_start is None:
+            self._window_start = base
+        self.buf = tbl.buffer_append_rows(
+            self.buf, packed, jnp.asarray(valid, dtype=bool),
+            jnp.asarray(row_gid, dtype=jnp.int32),
+            jnp.asarray(base - self._window_start, jnp.int32),
+            jnp.asarray(self._buf_used, jnp.int32))
+        self._buf_used += n_in
+        self._genomes_since_compress += len(names)
 
     def flush(self):
-        """Flush pending runs into the main table (read barrier).
+        """Flush the pending window into the table (read barrier).
 
-        One sorted-batch insert for the whole buffer: probe, color update,
-        merge, Bloom, prefix-index rebuild.  Syncs the host count mirrors
-        (the only host<->device round trip of the insert path).
+        Two jitted stages (tbl.flush_stage_a/b) with one host sync between:
+        stage A sorts the buffer, builds per-key genome-set masks, probes
+        the table and counts the EXACT number of distinct (class, mask)
+        pairs and new keys; the host sizes the table/pools and the
+        per-class budget from those counts; stage B builds the child
+        classes, rewrites color refs and merges — one fixed cost per
+        ``genome_window`` genomes instead of per genome.
         """
-        if not self._pending_used or self.runs is None:
+        if not self._buf_used or self.buf is None:
             return
         cfg = self.config
-        # Upper bound: every pending slot could be a distinct new key.
-        self._ensure_table(self._pending_used * self._run_size)
-        # Every small class can spawn one small child; every dense class one
-        # dense child; every size-S small class can overflow into dense.
-        self._ensure_colors(self._sd + 1, self._dd + self._small_full)
-        sd_before, scap = self._sd, self.colors.small_capacity
-        dd_before, dcap = self._dd, self.colors.capacity
-        gid = len(self.genome_names) - 1
-        # Distinct classes in any batch <= classes that exist now; the
-        # budget lets the color update run its per-class work at this size
-        # instead of the batch size (pow2-bucketed to bound recompiles).
-        total_pending = self._pending_used * self._run_size
-        budget = max(2048, _next_pow2(min(total_pending,
-                                          self._sd + self._dd)))
-        self.table, self.colors, self.bloom, self.runs, stats = tbl.flush_genome(
-            self.table, self.colors, self.runs, self.bloom,
-            jnp.asarray(gid, dtype=jnp.int32),
-            jnp.asarray(self._cur_singleton if self._cur_singleton is not None
-                        else 0, dtype=jnp.int32),
+        g0 = self._window_start
+        a_out = tbl.flush_stage_a(
+            self.table, self.buf,
+            jnp.asarray(self._buf_used, jnp.int32),
+            window=cfg.genome_window,
+            use_pallas=self._pallas_eligible())
+        self.buf = None  # donated to stage A
+        self._buf_used = 0
+        self._window_start = None
+        n_pairs, n_new = (int(x) for x in jax.device_get(
+            (a_out["n_pairs"], a_out["n_new"])))
+        self._ensure_table(n_new)
+        # Each distinct (class, mask) pair spawns at most one child class,
+        # in either pool — stage A's count makes the contract exact.
+        self._ensure_colors(n_pairs, n_pairs)
+        budget = max(1024, _next_pow2(max(n_pairs, 1)))
+        self.table, self.colors, self.bloom, stats = tbl.flush_stage_b(
+            self.table, self.colors, self.bloom,
+            a_out["skeys"], a_out["cls2"], a_out["mask2"], a_out["keep2"],
+            a_out["found2"], a_out["idx2"], a_out["src2"],
+            jnp.asarray(g0, jnp.int32),
             cfg.bloom_log2_bits,
             jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
             jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32),
-            use_pallas=self._pallas_eligible(),
-            use_bloom=cfg.bloom_enabled,
-            affected_budget=budget)
-        self._pending_used = 0
+            budget=budget, window=cfg.genome_window,
+            use_bloom=cfg.bloom_enabled)
         st = jax.device_get(stats)
-        if int(st["n_classes_seen"]) > budget:
-            raise RuntimeError(
-                f"affected-class budget violated: {int(st['n_classes_seen'])} "
-                f"distinct classes > budget {budget} (corruption)")
         self._n = int(st["n"])
         self._sd = int(st["sd"])
         self._dd = int(st["dd"])
         self._small_full = int(st["small_full"])
-        if int(st["colored_small"]) > scap - sd_before:
+        if int(st["colored_small"]) + int(st["colored_dense"]) > n_pairs:
             raise RuntimeError(
-                f"small color capacity contract violated: "
-                f"{int(st['colored_small'])} new classes > "
-                f"{scap - sd_before} free rows (corruption)")
-        if int(st["colored_dense"]) > dcap - dd_before:
-            raise RuntimeError(
-                f"dense color capacity contract violated: "
-                f"{int(st['colored_dense'])} new classes > "
-                f"{dcap - dd_before} free rows (corruption)")
+                f"window-flush contract violated: "
+                f"{int(st['colored_small']) + int(st['colored_dense'])} new "
+                f"classes > {n_pairs} distinct pairs (corruption)")
         if _debug_invariants():
             self._check_invariants()
+        if (cfg.treshold_compression > 0 and
+                self._genomes_since_compress >= cfg.treshold_compression):
+            self.compress_colors()
 
     def sync_counts(self):
         """Refresh host count mirrors after deferred-sync insertion."""
@@ -382,6 +435,7 @@ class ColoredDBG:
         table, sentinel padding, and color_ref range — the invariants the
         reference enforces via its ERROR aborts (include/useful_macros.h:33).
         """
+        self.flush()  # no-op when called from flush() itself (buffer empty)
         keys = np.asarray(jax.device_get(self.table.keys))
         n = self._n
         live = keys[:n]
@@ -411,17 +465,15 @@ class ColoredDBG:
             raise AssertionError("invariant violated: empty small class")
 
     def end_genome(self):
-        """Close the current genome; run color compression on cadence.
+        """Close the current genome (host bookkeeping only).
 
-        Reference: annotation compression runs after the last genome / every
-        ``treshold_compression`` genomes (src/file_io.c:192-193, Node.h:116).
+        The reference compresses annotations every ``treshold_compression``
+        genomes (src/file_io.c:192-193, Node.h:116); here the dictionary
+        dedup is observationally invisible (classes are interned ids), so it
+        is DEFERRED to the next window flush — per-genome work stays zero.
         """
-        self.flush()
-        self._cur_singleton = None
+        self._cur_gid = None
         self._genomes_since_compress += 1
-        if (self.config.treshold_compression > 0 and
-                self._genomes_since_compress >= self.config.treshold_compression):
-            self.compress_colors()
 
     def insert_genome(self, name: str, packed: np.ndarray,
                       valid: np.ndarray | None = None):
@@ -434,8 +486,10 @@ class ColoredDBG:
         self.insert_genome(name, packed, valid)
 
     def compress_colors(self):
-        # Must flush: a pending genome's singleton class may have no table
-        # reference yet and would be GC'd out from under the pending keys.
+        # Must flush first: the dedup walks table.color_ref, which does not
+        # cover pending buffered rows yet.  (flush() itself calls back in at
+        # the compression cadence — at that point the buffer is empty and
+        # the inner flush is a no-op, so there is no recursion.)
         self.flush()
         self.table, self.colors, stats = tbl.compress_colors(
             self.table, self.colors)

@@ -603,6 +603,388 @@ flush_genome = functools.partial(
 )(flush_genome_impl)
 
 
+# ---------------------------------------------------------------------------
+# Multi-genome window flush.
+#
+# The per-genome flush (flush_genome above, kept for the sharded path) pays
+# the full fixed cost — batch sort, probe, color update, capacity-sized merge
+# — once per genome.  A pan-genome build of many SMALL genomes (BASELINE
+# config 5: 1000 strains) therefore pays ~1000 fixed costs; the reference's
+# per-genome loop (insert_Genomes_from_KmerFiles src/file_io.c:89) has no
+# such fixed cost because its work is per-k-mer.
+#
+# The window flush amortizes: rows from up to ``window`` consecutive genomes
+# accumulate in ONE flat buffer, each row tagged with its window-relative
+# genome id, and a single flush inserts them all.  Each distinct k-mer in the
+# buffer carries a ``window``-bit mask of the genomes that contain it (its
+# "suffix genome set"); each distinct (existing class, mask) pair spawns at
+# most one child class ``old | mask-genomes`` — the multi-genome
+# generalization of ``modify_annotations`` (src/retrieveAnnotation.c:232)
+# with the same per-class no-op rule (src/retrieveAnnotation.c:278) applied
+# per genome bit.
+#
+# Window invariant (holds by construction, used for sorted small rows): at
+# flush time every EXISTING class contains only genome ids <= g0, the
+# absolute id of the window's first genome — a flush always drains the whole
+# buffer, so ids > g0 can only have been introduced by this window's own
+# rows.  Appended ids are >= g0 and already-present ids are excluded by the
+# mask, so appending in mask-bit order preserves the sorted-row invariant.
+#
+# The flush runs in two jitted stages with one host sync between them:
+# stage A (cheap, not donated) counts the exact number of distinct
+# (class, mask) pairs and new keys, so the host can size pools/table and a
+# per-class work budget EXACTLY — no capacity-contract guesswork; stage B
+# (donating) does the per-class work at budget size and the merge.
+# ---------------------------------------------------------------------------
+
+@jax.tree_util.register_dataclass
+@dataclasses.dataclass
+class PendingBuffer:
+    """Flat buffer of raw (key, window-relative genome id) rows.
+
+    The row count in use is HOST-tracked (appends happen at host-known
+    offsets), so there is no device scalar to sync.  Keys MAY repeat within
+    and across genomes — the flush sort deduplicates (key, gid) pairs.
+    """
+
+    keys: jnp.ndarray   # uint32[cap, W] raw rows
+    gid: jnp.ndarray    # int32[cap] window-relative genome id (< window)
+    valid: jnp.ndarray  # bool[cap]
+
+    @property
+    def capacity(self) -> int:
+        return self.keys.shape[0]
+
+
+def empty_buffer(capacity: int, words: int) -> PendingBuffer:
+    return PendingBuffer(
+        keys=jnp.full((capacity, words), ss.SENTINEL, dtype=jnp.uint32),
+        gid=jnp.zeros((capacity,), dtype=jnp.int32),
+        valid=jnp.zeros((capacity,), dtype=bool),
+    )
+
+
+def buffer_append_impl(buf: PendingBuffer, keys: jnp.ndarray,
+                       valid: jnp.ndarray, gid_rel: jnp.ndarray,
+                       offset: jnp.ndarray) -> PendingBuffer:
+    """Append one batch at ``offset`` with a SCALAR relative genome id."""
+    m = keys.shape[0]
+    return PendingBuffer(
+        keys=jax.lax.dynamic_update_slice(buf.keys, keys, (offset, 0)),
+        gid=jax.lax.dynamic_update_slice(
+            buf.gid, jnp.full((m,), gid_rel, dtype=jnp.int32), (offset,)),
+        valid=jax.lax.dynamic_update_slice(buf.valid, valid, (offset,)),
+    )
+
+
+buffer_append = functools.partial(jax.jit, donate_argnums=(0,))(
+    buffer_append_impl)
+
+
+def buffer_append_rows_impl(buf: PendingBuffer, keys: jnp.ndarray,
+                            valid: jnp.ndarray, gid_rel: jnp.ndarray,
+                            base_rel: jnp.ndarray,
+                            offset: jnp.ndarray) -> PendingBuffer:
+    """Append a MULTI-genome batch: per-row ids ``gid_rel + base_rel`` in one
+    device call — the bulk ingestion path (one dispatch per many genomes,
+    which matters on high-latency device links)."""
+    return PendingBuffer(
+        keys=jax.lax.dynamic_update_slice(buf.keys, keys, (offset, 0)),
+        gid=jax.lax.dynamic_update_slice(
+            buf.gid, gid_rel.astype(jnp.int32) + base_rel, (offset,)),
+        valid=jax.lax.dynamic_update_slice(buf.valid, valid, (offset,)),
+    )
+
+
+buffer_append_rows = functools.partial(jax.jit, donate_argnums=(0,))(
+    buffer_append_rows_impl)
+
+
+def _suffix_segment_or(head: jnp.ndarray, bits: tuple):
+    """Per-row OR of ``bits`` over [row .. end of row's run].
+
+    ``head`` marks run starts in a sorted array; at a head row the result is
+    the full run's OR.  Implemented as a segmented inclusive scan on the
+    reversed arrays (reset at reversed-segment starts = original run ends),
+    then reversed back — O(T log T) elementwise work, no gathers/scatters.
+    """
+    end_flag = jnp.concatenate([head[1:], jnp.ones((1,), dtype=bool)])
+    relems = (jnp.flip(end_flag),) + tuple(jnp.flip(b) for b in bits)
+
+    def comb(a, b):
+        af, am = a[0], a[1:]
+        bf, bm = b[0], b[1:]
+        return ((af | bf,)
+                + tuple(jnp.where(bf, bj, aj | bj)
+                        for aj, bj in zip(am, bm)))
+
+    out = jax.lax.associative_scan(comb, relems)
+    return tuple(jnp.flip(o) for o in out[1:])
+
+
+def flush_stage_a_impl(table: KmerTable, buf: PendingBuffer,
+                       used: jnp.ndarray, window: int,
+                       use_pallas: bool = False):
+    """Stage A of the window flush: sort, mask-build, probe, pair-group sort.
+
+    Returns a dict of T-sized arrays consumed by stage B plus two exact
+    scalars the host syncs: ``n_pairs`` (distinct (class, mask) pairs — the
+    per-class work budget and the upper bound on new classes per pool) and
+    ``n_new`` (new distinct keys — the exact table growth).
+    """
+    t_rows, w = buf.keys.shape
+    mw = window // 32
+
+    # Sort 1: by (invalid, key words..., gid).  Invalid rows mask to sentinel
+    # and sort last; the leading ``inv`` key keeps a genuine all-T key (which
+    # equals the sentinel when k == 16*W) out of the dead run.
+    live = buf.valid & (jnp.arange(t_rows, dtype=jnp.int32) < used)
+    inv = (~live).astype(jnp.uint32)
+    masked = jnp.where(live[:, None], buf.keys,
+                       jnp.full_like(buf.keys, ss.SENTINEL))
+    gid_m = jnp.where(live, buf.gid, window)
+    out = jax.lax.sort((inv,) + tuple(masked[:, i] for i in range(w))
+                       + (gid_m,), num_keys=w + 2)
+    inv_s = out[0]
+    skeys = jnp.stack(out[1:1 + w], axis=-1)
+    sgid = out[1 + w]
+    svalid = inv_s == 0
+    key_bound = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        (~ss.mw_equal(skeys[1:], skeys[:-1])) | (inv_s[1:] != inv_s[:-1])])
+    keep_key = key_bound & svalid                     # head of each key run
+    pair_bound = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        key_bound[1:] | (sgid[1:] != sgid[:-1])])
+    keep_pair = pair_bound & svalid                   # distinct (key, gid)
+
+    # Per-key suffix genome mask: OR of (1 << gid) over the key's run, read
+    # at the run head via a reversed segmented scan.
+    bits = tuple(
+        jnp.where(keep_pair & ((sgid >> 5) == j),
+                  jnp.uint32(1) << (sgid & 31).astype(jnp.uint32),
+                  jnp.uint32(0))
+        for j in range(mw))
+    masks = _suffix_segment_or(keep_key, bits)
+
+    found, idx = _probe_main(table, skeys, svalid, use_pallas)
+    found = found & keep_key
+
+    # Group key of each head row: (existing class | -1 if new, mask).
+    # Non-head/invalid rows get class INT32_MAX and sort last.
+    cls = jnp.where(keep_key,
+                    jnp.where(found, table.color_ref[idx], -1),
+                    INT32_MAX)
+    mask_h = tuple(jnp.where(keep_key, mj, jnp.uint32(0)) for mj in masks)
+    pos1 = jnp.arange(t_rows, dtype=jnp.int32)
+    out2 = jax.lax.sort(
+        (cls,) + mask_h + (found.astype(jnp.uint32), idx, pos1),
+        num_keys=1 + mw)
+    cls2 = out2[0]
+    mask2 = jnp.stack(out2[1:1 + mw], axis=-1)
+    found2 = out2[1 + mw] == 1
+    idx2 = out2[2 + mw]
+    src2 = out2[3 + mw]
+    pair_neq = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        (cls2[1:] != cls2[:-1]) | jnp.any(mask2[1:] != mask2[:-1], axis=-1)])
+    keep2 = pair_neq & (cls2 != INT32_MAX)
+    n_pairs = jnp.sum(keep2.astype(jnp.int32))
+    n_new = jnp.sum((keep_key & ~found).astype(jnp.int32))
+    return {"skeys": skeys, "cls2": cls2, "mask2": mask2, "keep2": keep2,
+            "found2": found2, "idx2": idx2, "src2": src2,
+            "n_pairs": n_pairs, "n_new": n_new}
+
+
+flush_stage_a = functools.partial(
+    jax.jit, static_argnames=("window", "use_pallas"), donate_argnums=(1,)
+)(flush_stage_a_impl)
+
+
+def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
+                       bloom_bits: jnp.ndarray,
+                       skeys, cls2, mask2, keep2, found2, idx2, src2,
+                       g0: jnp.ndarray, log2_bloom: int, seed1, seed2,
+                       budget: int, window: int, use_bloom: bool = True):
+    """Stage B of the window flush: per-pair class construction (at budget
+    size), color_ref rewrite, table merge, Bloom + prefix-index rebuild.
+
+    ``g0``: absolute genome id of the window's first genome (mask bit b =
+    genome g0+b).  Caller contract (exact, from stage A's scalars): table has
+    >= n_new free rows; each pool has >= n_pairs free rows; budget >= n_pairs.
+    """
+    t_rows = skeys.shape[0]
+    mw = window // 32
+    a = budget
+    s_w = colors.small_width
+    cw = colors.width
+    scap = colors.small_capacity
+    dcap = colors.capacity
+    g0 = jnp.asarray(g0, dtype=jnp.int32)
+    w0 = g0 >> 5
+    sh = (g0 & 31).astype(jnp.uint32)
+
+    # ---- compact distinct (class, mask) pairs into [a] ----
+    run2 = jnp.cumsum(keep2.astype(jnp.int32)) - 1
+    dest = jnp.where(keep2, run2, a)
+    u_cls = jnp.full((a,), INT32_MAX, dtype=jnp.int32).at[dest].set(
+        cls2, mode="drop")
+    u_mask = []
+    for j in range(mw):
+        u_mask.append(jnp.zeros((a,), dtype=jnp.uint32).at[dest].set(
+            mask2[:, j], mode="drop"))
+
+    live_u = u_cls != INT32_MAX
+    parent_dense = live_u & (u_cls >= 0) & ((u_cls & DENSE_TAG) != 0)
+    parent_small = live_u & (u_cls >= 0) & ((u_cls & DENSE_TAG) == 0)
+    base_small = jnp.where(
+        parent_small[:, None],
+        colors.ids[jnp.where(parent_small, u_cls, 0)], EMPTY_ID)   # [a, S]
+    base_dense = jnp.where(
+        parent_dense[:, None],
+        colors.rows[jnp.where(parent_dense, u_cls & ~DENSE_TAG, 0)],
+        jnp.uint32(0))                                             # [a, cw]
+
+    # ---- parent's bits inside the window [g0, g0+window) ----
+    rel = base_small - g0
+    inwin = (base_small != EMPTY_ID) & (rel >= 0) & (rel < window)
+
+    def sel_word(mat, widx):
+        outv = jnp.zeros((a,), dtype=jnp.uint32)
+        for c in range(cw):
+            outv = jnp.where(widx == c, mat[:, c], outv)
+        return outv
+
+    add = []
+    n_add = jnp.zeros((a,), dtype=jnp.int32)
+    for j in range(mw):
+        pj = jnp.zeros((a,), dtype=jnp.uint32)
+        for t in range(s_w):
+            pj = pj | jnp.where(
+                inwin[:, t] & ((rel[:, t] >> 5) == j),
+                jnp.uint32(1) << (rel[:, t] & 31).astype(jnp.uint32),
+                jnp.uint32(0))
+        lo = sel_word(base_dense, w0 + j)
+        hi = sel_word(base_dense, w0 + j + 1)
+        pj = pj | (lo >> sh) | jnp.where(
+            sh > 0, hi << ((jnp.uint32(32) - sh) & 31), jnp.uint32(0))
+        aj = u_mask[j] & ~pj
+        add.append(aj)
+        n_add = n_add + jax.lax.population_count(aj).astype(jnp.int32)
+
+    pcount = jnp.where(
+        parent_small,
+        jnp.sum((base_small != EMPTY_ID).astype(jnp.int32), axis=1), 0)
+    u_aff = live_u & (n_add > 0)
+    smallish = live_u & ~parent_dense          # small parent or empty (new)
+    child_small = u_aff & smallish & (pcount + n_add <= s_w)
+    overflow = u_aff & smallish & (pcount + n_add > s_w)
+    child_dense = u_aff & (parent_dense | overflow)
+    r_small = jnp.cumsum(child_small.astype(jnp.int32)) - 1
+    r_dense = jnp.cumsum(child_dense.astype(jnp.int32)) - 1
+    n_new_small = jnp.sum(child_small.astype(jnp.int32))
+    n_new_dense = jnp.sum(child_dense.astype(jnp.int32))
+
+    # ---- positions of the first S set bits of ``add`` (bit-clear walk) ----
+    poss = []
+    ys = list(add)
+    for _ in range(s_w):
+        pos_r = jnp.full((a,), EMPTY_ID, dtype=jnp.int32)
+        taken = jnp.zeros((a,), dtype=bool)
+        nys = []
+        for j in range(mw):
+            yj = ys[j]
+            nz = (yj != 0) & ~taken
+            lsb = yj & (~yj + jnp.uint32(1))
+            bitpos = jax.lax.population_count(lsb - 1).astype(jnp.int32)
+            pos_r = jnp.where(nz, 32 * j + bitpos, pos_r)
+            nys.append(jnp.where(nz, yj & (yj - 1), yj))
+            taken = taken | (yj != 0)
+        ys = nys
+        poss.append(pos_r)
+
+    # ---- small child rows: parent ids then appended window genomes ----
+    # Appended ids g0+pos are >= g0 >= every parent id (window invariant) and
+    # ascend in bit order, so the sorted-row invariant holds.
+    child_cols = []
+    for t in range(s_w):
+        val = base_small[:, t]
+        for r in range(s_w):
+            val = jnp.where((pcount + r == t) & (r < n_add),
+                            g0 + poss[r], val)
+        child_cols.append(val)
+    dest_small = jnp.where(child_small, colors.sd + r_small, scap)
+    ids_out = colors.ids
+    for t in range(s_w):
+        ids_out = ids_out.at[dest_small, t].set(child_cols[t], mode="drop")
+
+    # ---- dense child rows: parent bitmap (or expanded small) | window adds
+    base_for_dense = base_dense | ids_to_bitmap(
+        jnp.where(overflow[:, None], base_small, EMPTY_ID), cw)
+    dest_dense = jnp.where(child_dense, colors.dd + r_dense, dcap)
+    rows_out = colors.rows
+    for c in range(cw):
+        acc = base_for_dense[:, c]
+        for j in range(mw):
+            acc = acc | jnp.where(w0 + j == c, add[j] << sh, jnp.uint32(0))
+            acc = acc | jnp.where((w0 + j + 1 == c) & (sh > 0),
+                                  add[j] >> ((jnp.uint32(32) - sh) & 31),
+                                  jnp.uint32(0))
+        rows_out = rows_out.at[dest_dense, c].set(acc, mode="drop")
+
+    new_id = jnp.where(
+        u_aff,
+        jnp.where(child_small, colors.sd + r_small,
+                  (colors.dd + r_dense) | DENSE_TAG),
+        u_cls)
+
+    # ---- map group results back to sort-1 row order (sort by src2: a
+    # bandwidth-bound permutation sort instead of latency-bound scatters) ----
+    run_c = jnp.clip(run2, 0, a - 1)
+    per_row = new_id[run_c]
+    live2 = cls2 != INT32_MAX
+    changed2 = live2 & found2 & u_aff[run_c]
+    isnew2 = live2 & ~found2
+    out3 = jax.lax.sort(
+        (src2, per_row, changed2.astype(jnp.uint32),
+         isnew2.astype(jnp.uint32), idx2), num_keys=1)
+    per_row1, changed1, isnew1, idx1 = out3[1], out3[2] == 1, out3[3] == 1, \
+        out3[4]
+
+    cref = table.color_ref.at[
+        jnp.where(changed1, idx1, table.capacity)].set(per_row1, mode="drop")
+    newcls1 = jnp.where(isnew1, per_row1, -1)
+
+    merged_keys, merged_n, (merged_cref, merged_flags) = ss.merge_into_masked(
+        table.keys, table.n, skeys, isnew1,
+        table_payloads=(cref, table.flags),
+        new_payloads=(newcls1, jnp.zeros((t_rows,), dtype=jnp.uint8)))
+
+    if use_bloom:
+        bloom_bits = bloom_ops.add(bloom_bits, skeys, isnew1,
+                                   log2_bloom, seed1, seed2)
+    merged_starts = ss.build_bucket_starts(merged_keys, merged_n)
+
+    table = KmerTable(keys=merged_keys, color_ref=merged_cref,
+                      flags=merged_flags, n=merged_n,
+                      bucket_starts=merged_starts)
+    colors = ColorStore(ids=ids_out, rows=rows_out,
+                        sd=colors.sd + n_new_small,
+                        dd=colors.dd + n_new_dense)
+    stats = {"n": merged_n, "sd": colors.sd, "dd": colors.dd,
+             "new": jnp.sum(isnew1.astype(jnp.int32)),
+             "colored_small": n_new_small, "colored_dense": n_new_dense,
+             "small_full": count_small_full(colors)}
+    return table, colors, bloom_bits, stats
+
+
+flush_stage_b = functools.partial(
+    jax.jit,
+    static_argnames=("log2_bloom", "budget", "window", "use_bloom"),
+    donate_argnums=(0, 1, 2),
+)(flush_stage_b_impl)
+
+
 def _dedup_pool(mat: jnp.ndarray, live: jnp.ndarray, pad_value):
     """Dedup + GC the live rows of one pool, PRESERVING survivor order.
 

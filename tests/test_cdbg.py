@@ -382,6 +382,7 @@ def test_debug_invariants_catch_corruption(monkeypatch):
     # corrupt: break sortedness of the key tensor
     dbg2 = ColoredDBG(small_config(k))
     dbg2.insert_kmer_strings("g0", genome_kmers(random_genome(rng, 200), k))
+    dbg2.flush()  # corrupt the MERGED table, not the pre-flush empty one
     swapped = dbg2.table.keys.at[0].set(dbg2.table.keys[1]).at[1].set(
         dbg2.table.keys[0])
     dbg2.table = dataclasses.replace(dbg2.table, keys=swapped)
