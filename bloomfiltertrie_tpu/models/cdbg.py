@@ -149,6 +149,7 @@ class ColoredDBG:
         self._chunk = None        # append chunk row size
         self._window_start = None  # absolute gid of the window's 1st genome
         self._cur_gid = None      # open genome id (None between genomes)
+        self._poisoned = False    # set if a flush contract check ever fails
         self.marking_enabled = False
         # Streaming Pallas kernels need a TPU backend and TILE-aligned
         # capacity (pow2 >= 2048 is always TILE-aligned).
@@ -374,6 +375,12 @@ class ColoredDBG:
         classes, rewrites color refs and merges — one fixed cost per
         ``genome_window`` genomes instead of per genome.
         """
+        if self._poisoned:
+            raise RuntimeError(
+                "this ColoredDBG is unusable: a previous flush detected a "
+                "capacity-contract violation after donated buffers were "
+                "consumed (in-memory state may be corrupt); rebuild or "
+                "reload from a checkpoint")
         if not self._buf_used or self.buf is None:
             return
         cfg = self.config
@@ -409,6 +416,10 @@ class ColoredDBG:
         self._dd = int(st["dd"])
         self._small_full = int(st["small_full"])
         if int(st["colored_small"]) + int(st["colored_dense"]) > n_pairs:
+            # Detected only after stage B ran on donated buffers: the
+            # in-memory index may be corrupt, so poison the instance — every
+            # later flush (and hence every read API) refuses to proceed.
+            self._poisoned = True
             raise RuntimeError(
                 f"window-flush contract violated: "
                 f"{int(st['colored_small']) + int(st['colored_dense'])} new "
@@ -716,6 +727,63 @@ class ColoredDBG:
     def neighbors(self, kmer: str) -> list[str]:
         return self.predecessors(kmer) + self.successors(kmer)
 
+    def neighbors_with_colors_packed(self, packed, valid=None):
+        """Batched neighbors WITH their color bitmaps, one round trip.
+
+        Reference parity: ``get_neighbors`` (src/bft.c:804) returns 4-slot
+        BFT_kmer records per direction whose annotations are immediately
+        queryable (the container pointers travel with the result,
+        src/branchingNode.c:112) — here the annotation decode is fused into
+        the same device program as the membership probe.
+
+        Returns a dict with, per direction ('succ', 'pred'):
+          found  bool[M, 4], packed uint32[M, 4, W], bitmap uint32[M, 4, cw].
+        """
+        self.flush()
+        packed = jnp.asarray(packed, dtype=jnp.uint32)
+        m = packed.shape[0]
+        w = packed.shape[1]
+        if valid is None:
+            valid = jnp.ones((m,), dtype=bool)
+        else:
+            valid = jnp.asarray(valid, dtype=bool)
+        succ, pred = graph_ops.neighbor_candidates(packed, self.k)
+        cand = jnp.concatenate([succ.reshape(m * 4, w),
+                                pred.reshape(m * 4, w)])
+        cvalid = jnp.concatenate([jnp.repeat(valid, 4)] * 2)
+        found, _, _, bitmap = _query_colors(
+            self.table.keys, self.table.n, self.table.bucket_starts,
+            self.table.color_ref, self.colors, cand, cvalid,
+            use_pallas=self._pallas_eligible())
+        cw = bitmap.shape[1]
+        found = np.asarray(found)
+        bitmap = np.asarray(bitmap)
+        return {
+            "succ": {"found": found[: m * 4].reshape(m, 4),
+                     "packed": np.asarray(succ),
+                     "bitmap": bitmap[: m * 4].reshape(m, 4, cw)},
+            "pred": {"found": found[m * 4:].reshape(m, 4),
+                     "packed": np.asarray(pred),
+                     "bitmap": bitmap[m * 4:].reshape(m, 4, cw)},
+        }
+
+    def neighbors_with_colors(self, kmer: str):
+        """Single-k-mer convenience over the batched variant: two lists
+        (successors, predecessors) of (kmer_str, BFTAnnotation)."""
+        packed, valid = codec.encode_strings([kmer], self.k)
+        out = self.neighbors_with_colors_packed(packed, np.asarray(valid))
+        res = []
+        for d in ("succ", "pred"):
+            lst = []
+            for b in range(4):
+                if out[d]["found"][0, b]:
+                    s = codec.decode_strings(
+                        out[d]["packed"][0, b:b + 1], self.k)[0]
+                    lst.append((s, BFTAnnotation(out[d]["bitmap"][0, b],
+                                                 self.nb_genomes)))
+            res.append(lst)
+        return res[0], res[1]
+
     def branching_count_packed(self, packed, valid=None) -> int:
         """Count branching query k-mers (reference file_io.c:943-948)."""
         self.flush()
@@ -743,6 +811,13 @@ class ColoredDBG:
     def iterate_over_kmers(self, fn, chunk: int = 65536):
         """Call ``fn(kmer_str, annotation, flag)`` for every k-mer.
 
+        Early-termination contract (reference ``iterate_over_kmers``
+        doc block, src/bft.c:1051, and ``prefix_matching`` src/bft.c:1096):
+        if ``fn`` returns a FALSY value other than None (e.g. 0 or False,
+        matching the C "returns 0" convention), the walk stops immediately.
+        A plain Python callback that returns nothing (None) iterates to the
+        end, so set-building lambdas keep working unchanged.
+
         Host-side per-k-mer Python callback loop — parity with the
         reference's callback iteration (bft.c:1051), NOT a device-scale
         path: at millions of rows prefer the batched exports
@@ -758,7 +833,10 @@ class ColoredDBG:
             rows = np.asarray(tbl.class_bitmap(self.colors, cls))
             strs = codec.decode_strings(keys, self.k)
             for i, s in enumerate(strs):
-                fn(s, BFTAnnotation(rows[i], self.nb_genomes), int(flags[i]))
+                r = fn(s, BFTAnnotation(rows[i], self.nb_genomes),
+                       int(flags[i]))
+                if r is not None and not r:
+                    return
 
     def color_counts(self) -> np.ndarray:
         """Genome count of every k-mer's class, table order, int32[n] —
@@ -817,7 +895,10 @@ class ColoredDBG:
         """Call ``fn(kmer_str, BFTAnnotation, flag)`` for every k-mer with
         the given prefix (reference iterate_over_prefixes
         src/extract_kmers.c:599) — callback parity; batched callers should
-        prefer :meth:`prefix_matching` with annotations."""
+        prefer :meth:`prefix_matching` with annotations.
+
+        Early-termination contract as :meth:`iterate_over_kmers` (reference
+        src/bft.c:1096): a non-None falsy return stops the walk."""
         lo, hi = self._prefix_range(prefix)
         for off in range(lo, hi, chunk):
             top = min(off + chunk, hi)
@@ -826,7 +907,10 @@ class ColoredDBG:
             rows = np.asarray(tbl.class_bitmap(self.colors, cls))
             flags = np.asarray(self.table.flags[off:top])
             for i, s in enumerate(codec.decode_strings(keys, self.k)):
-                fn(s, BFTAnnotation(rows[i], self.nb_genomes), int(flags[i]))
+                r = fn(s, BFTAnnotation(rows[i], self.nb_genomes),
+                       int(flags[i]))
+                if r is not None and not r:
+                    return
 
     # ------------------------------------------------------------------
     # marking (reference src/marking.c 2-bit flag planes)
@@ -957,10 +1041,13 @@ class ColoredDBG:
         rows_full = np.zeros((dcap, cw), dtype=np.uint32)
         rows_full[:dd] = rows_p
         cref_in = z["color_ref"]
+        if n and (np.asarray(cref_in)[:n] >= max(d, 1)).any():
+            raise ValueError(
+                "corrupt checkpoint: color_ref out of range "
+                f"(max {int(np.asarray(cref_in)[:n].max())} >= d={d})")
         cref = np.full((cap,), -1, dtype=np.int32)
         cref[:n] = np.where(cref_in < 0, -1,
-                            remap[np.minimum(np.maximum(cref_in, 0), d - 1)]
-                            if d else -1)
+                            remap[np.maximum(cref_in, 0)] if d else -1)
         keys_d = jnp.asarray(keys)
         n_d = jnp.asarray(n, dtype=jnp.int32)
         self.table = tbl.KmerTable(
@@ -980,11 +1067,39 @@ class ColoredDBG:
     # ------------------------------------------------------------------
     # observability (reference printMemory.c / getRSS.c)
     # ------------------------------------------------------------------
+    def class_size_stats(self) -> dict:
+        """Per-class-size structure stats (reference printMemory.c:68: the
+        per-container-class counts and "biggest annotation" diagnostic).
+
+        Returns {"biggest_class": int, "histogram": np.ndarray} where
+        histogram[s] = number of live color classes with exactly s genomes.
+        """
+        self.flush()
+        sd, dd = self._sd, self._dd
+        sizes = []
+        if sd:
+            ids = np.asarray(jax.device_get(self.colors.ids))[:sd]
+            sizes.append((ids != tbl.EMPTY_ID).sum(axis=1))
+        if dd:
+            rows = np.asarray(jax.device_get(self.colors.rows))[:dd]
+            bits = np.unpackbits(rows.view(np.uint8), axis=1,
+                                 bitorder="little")
+            sizes.append(bits.sum(axis=1))
+        if not sizes:
+            return {"biggest_class": 0,
+                    "histogram": np.zeros((1,), dtype=np.int64)}
+        allsz = np.concatenate(sizes).astype(np.int64)
+        return {"biggest_class": int(allsz.max()),
+                "histogram": np.bincount(allsz)}
+
     def memory_stats(self) -> dict:
         self.flush()
         t, c = self.table, self.colors
         bytes_colors = c.ids.size * 4 + c.rows.size * 4
+        css = self.class_size_stats()
         return {
+            "biggest_class": css["biggest_class"],
+            "class_size_histogram": css["histogram"],
             "nb_kmers": self._n,
             "nb_color_classes": self._d,
             "nb_small_classes": self._sd,

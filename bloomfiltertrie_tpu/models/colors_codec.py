@@ -305,26 +305,66 @@ def decode_to_pools(enc: dict, nb_genomes: int, s_w: int, cw: int,
 
 
 def decode_classes(enc: dict, nb_genomes: int, cw: int) -> np.ndarray:
-    """Inverse of :func:`encode_classes` -> uint32 bitmap rows [D, cw]."""
-    modes = enc["modes"]
-    offsets = enc["offsets"]
-    data = enc["data"]
+    """Inverse of :func:`encode_classes` -> uint32 bitmap rows [D, cw].
+
+    Fully vectorized (the batch inverse of the reference's per-annotation
+    ``decomp_annotation`` src/annotation.c:1840): ONE wholesale varint
+    decode of every non-bitmap byte, per-class delta cumsum by segment
+    arithmetic, id scatter for mode 2, and a +1/-1 difference-array cumsum
+    for mode-1 run expansion — no per-class Python loop, so million-class
+    checkpoints decode in seconds instead of minutes.
+    """
+    modes = np.asarray(enc["modes"])
+    offsets = np.asarray(enc["offsets"], dtype=np.int64)
+    data = np.asarray(enc["data"])
     d = len(modes)
-    bits = np.zeros((d, nb_genomes), dtype=bool)
-    for i in range(d):
-        chunk = data[offsets[i]: offsets[i + 1]]
-        if modes[i] == MODE_BITMAP:
-            bb = np.unpackbits(chunk, bitorder="little")[:nb_genomes]
-            bits[i, : len(bb)] = bb
-        elif modes[i] == MODE_IDS:
-            if len(chunk):
-                vals, _ = _varint_decode_all(chunk)
-                ids = np.cumsum(vals)
-                bits[i, ids] = True
-        else:
-            if len(chunk):
-                vals, _ = _varint_decode_all(chunk)
-                bounds = np.cumsum(vals)
-                for s, e in zip(bounds[0::2], bounds[1::2]):
-                    bits[i, s:e + 1] = True
+    g = nb_genomes
+    bits = np.zeros((d, g), dtype=bool)
+    if d == 0:
+        return pack_rows(bits, cw)
+    lens = np.diff(offsets)
+    byte_cls = np.repeat(np.arange(d, dtype=np.int64), lens)
+
+    # ---- mode 0: fixed ceil(G/8) raw bytes per class -> unpackbits ----
+    m0 = modes == MODE_BITMAP
+    if m0.any():
+        w8 = (g + 7) // 8
+        bmb = data[m0[byte_cls]].reshape(-1, w8)
+        bits[m0] = np.unpackbits(bmb, axis=1, bitorder="little")[:, :g]
+
+    # ---- modes 1/2: one wholesale varint decode of the rest ----
+    vsel = ~m0[byte_cls]
+    vbytes = data[vsel]
+    if len(vbytes):
+        vals, starts = _varint_decode_all(vbytes)
+        vcls = byte_cls[vsel][starts]              # class of each value
+        # per-class cumulative sum (deltas -> absolute ids / run bounds):
+        # subtract the running total at each class's first value.
+        c = np.cumsum(vals)
+        first = np.concatenate([[True], vcls[1:] != vcls[:-1]])
+        fidx = np.flatnonzero(first)
+        nvals = np.diff(np.concatenate([fidx, [len(vals)]]))
+        base = np.repeat(c[fidx] - vals[fidx], nvals)
+        absval = c - base
+        pos = np.arange(len(vals), dtype=np.int64) - np.repeat(fidx, nvals)
+
+        # mode 2: absolute ids -> scatter
+        i2 = modes[vcls] == MODE_IDS
+        if i2.any():
+            flat = bits.reshape(-1)
+            flat[vcls[i2] * g + absval[i2]] = True
+
+        # mode 1: [start, end] pairs -> +1/-1 difference array, cumsum.
+        # Row-padded width g+1 keeps the -1 at end+1 inside its own row;
+        # every run balances within its row, so one global cumsum is safe.
+        i1 = modes[vcls] == MODE_RUNS
+        if i1.any():
+            rcls, rpos, rval = vcls[i1], pos[i1], absval[i1]
+            s_i = (rpos & 1) == 0
+            diff = np.zeros(d * (g + 1), dtype=np.int32)
+            np.add.at(diff, rcls[s_i] * (g + 1) + rval[s_i], 1)
+            np.add.at(diff, rcls[~s_i] * (g + 1) + rval[~s_i] + 1, -1)
+            run_bits = (np.cumsum(diff).reshape(d, g + 1)[:, :g] > 0)
+            m1 = modes == MODE_RUNS
+            bits[m1] = run_bits[m1]
     return pack_rows(bits, cw)

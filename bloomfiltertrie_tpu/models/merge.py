@@ -121,7 +121,11 @@ def merge_cdbg(a: ColoredDBG, b: ColoredDBG) -> ColoredDBG:
     keys_full = np.full((cap, w), 0xFFFFFFFF, dtype=np.uint32)
     keys_full[: len(out_keys)] = out_keys
     cref_full = np.full((cap,), -1, dtype=np.int32)
-    cref_full[: len(out_cls)] = remap[out_cls] if len(all_rows) else -1
+    # Mask negative refs explicitly: a -1 in out_cls must stay the no-class
+    # sentinel, not wrap to the last dictionary row via fancy indexing.
+    cref_full[: len(out_cls)] = (
+        np.where(out_cls < 0, -1, remap[np.maximum(out_cls, 0)])
+        if len(all_rows) else -1)
     flags_full = np.zeros((cap,), dtype=np.uint8)
     flags_full[: len(out_flg)] = out_flg
     ids_full = np.full((scap, cfg.color_small_width), tbl.EMPTY_ID,

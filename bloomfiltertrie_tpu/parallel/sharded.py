@@ -146,40 +146,55 @@ def _flush_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
             runs.used[None], jnp.zeros_like(drop_acc), totals, per_shard)
 
 
-def _query_body(keys, cref, ids, rows, n, starts, queries, valid):
-    found, idx = ss.lookup(keys[0], n[0], queries, starts[0])
-    found = found & valid
+def _shard_lookup(keys, n, starts, queries, valid, use_pallas: bool):
+    """Per-shard membership probe: streaming Pallas rank kernel on TPU
+    (ops/pallas_kernels.py — ~10x the bucketed gather search at scale),
+    XLA bucketed binary search elsewhere."""
+    if use_pallas:
+        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        return pk.lookup_unsorted(keys, n, queries, valid)
+    found, idx = ss.lookup(keys, n, queries, starts)
+    return found & valid, idx
+
+
+def _query_body(keys, cref, ids, sd, rows, dd, n, starts, queries, valid, *,
+                use_pallas: bool = False):
+    found, idx = _shard_lookup(keys[0], n[0], starts[0], queries, valid,
+                               use_pallas)
     cls = jnp.where(found, cref[0][idx], -1)
-    colors = tbl.ColorStore(ids=ids[0], rows=rows[0],
-                            sd=jnp.int32(0), dd=jnp.int32(0))
+    colors = tbl.ColorStore(ids=ids[0], rows=rows[0], sd=sd[0], dd=dd[0])
     bitmap = tbl.class_bitmap(colors, cls)
     found = jax.lax.psum(found.astype(jnp.int32), AXIS) > 0
     bitmap = jax.lax.psum(bitmap, AXIS)
     return found, bitmap
 
 
-def _branching_body(keys, n, starts, queries, valid, *, k: int):
+def _branching_body(keys, n, starts, queries, valid, *, k: int,
+                    use_pallas: bool = False):
     m = queries.shape[0]
     succ, pred = graph_ops.neighbor_candidates(queries, k)
     cand = jnp.concatenate([succ.reshape(m * 4, -1), pred.reshape(m * 4, -1)])
-    found, _ = ss.lookup(keys[0], n[0], cand, starts[0])
+    found, _ = _shard_lookup(keys[0], n[0], starts[0], cand,
+                             jnp.ones((m * 8,), dtype=bool), use_pallas)
     found = jax.lax.psum(found.astype(jnp.int32), AXIS)
     sf = found[: m * 4].reshape(m, 4).sum(axis=1)
     pf = found[m * 4:].reshape(m, 4).sum(axis=1)
     return ((sf > 1) | (pf > 1)) & valid
 
 
-def _flags_body(keys, n, starts, flags, queries, valid, flag):
+def _flags_body(keys, n, starts, flags, queries, valid, flag, *,
+                use_pallas: bool = False):
     """Set 2-bit marks on owned query rows (reference src/marking.c)."""
-    found, idx = ss.lookup(keys[0], n[0], queries, starts[0])
-    found = found & valid
+    found, idx = _shard_lookup(keys[0], n[0], starts[0], queries, valid,
+                               use_pallas)
     dest = jnp.where(found, idx, keys.shape[1])
     return flags[0].at[dest].set(flag.astype(jnp.uint8), mode="drop")[None]
 
 
-def _get_flags_body(keys, n, starts, flags, queries, valid):
-    found, idx = ss.lookup(keys[0], n[0], queries, starts[0])
-    found = found & valid
+def _get_flags_body(keys, n, starts, flags, queries, valid, *,
+                    use_pallas: bool = False):
+    found, idx = _shard_lookup(keys[0], n[0], starts[0], queries, valid,
+                               use_pallas)
     local = jnp.where(found, flags[0][idx], 0).astype(jnp.int32)
     return jax.lax.psum(local, AXIS)
 
@@ -553,15 +568,17 @@ class ShardedCDBG:
             valid = np.ones(packed.shape[0], dtype=bool)
         fn = self._cached(
             "query", (self.keys.shape, self.ids.shape, self.rows.shape,
-                      packed.shape),
+                      packed.shape, self._pallas_eligible()),
             lambda: jax.shard_map(
-                _query_body, mesh=self.mesh, check_vma=False,
+                functools.partial(_query_body,
+                                  use_pallas=self._pallas_eligible()),
+                mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
-                          P(AXIS), P(), P()),
+                          P(AXIS), P(AXIS), P(AXIS), P(), P()),
                 out_specs=(P(), P())))
-        found, bitmap = fn(self.keys, self.color_ref, self.ids, self.rows,
-                           self.n, self.starts, jnp.asarray(packed),
-                           jnp.asarray(valid))
+        found, bitmap = fn(self.keys, self.color_ref, self.ids, self.sd,
+                           self.rows, self.dd, self.n, self.starts,
+                           jnp.asarray(packed), jnp.asarray(valid))
         return np.asarray(found), np.asarray(bitmap)
 
     def contains(self, kmer: str) -> bool:
@@ -628,9 +645,12 @@ class ShardedCDBG:
         if valid is None:
             valid = np.ones(packed.shape[0], dtype=bool)
         fn = self._cached(
-            "branching", (self.keys.shape, packed.shape),
+            "branching", (self.keys.shape, packed.shape,
+                          self._pallas_eligible()),
             lambda: jax.shard_map(
-                functools.partial(_branching_body, k=self.k), mesh=self.mesh, check_vma=False,
+                functools.partial(_branching_body, k=self.k,
+                                  use_pallas=self._pallas_eligible()),
+                mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS), P(AXIS), P(AXIS), P(), P()),
                 out_specs=P()))
         mask = fn(self.keys, self.n, self.starts, jnp.asarray(packed),
@@ -646,9 +666,12 @@ class ShardedCDBG:
         if valid is None:
             valid = np.ones(packed.shape[0], dtype=bool)
         fn = self._cached(
-            "set_flags", (self.keys.shape, packed.shape),
+            "set_flags", (self.keys.shape, packed.shape,
+                          self._pallas_eligible()),
             lambda: jax.shard_map(
-                _flags_body, mesh=self.mesh, check_vma=False,
+                functools.partial(_flags_body,
+                                  use_pallas=self._pallas_eligible()),
+                mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P(), P()),
                 out_specs=P(AXIS)))
         self.flags = fn(self.keys, self.n, self.starts, self.flags,
@@ -661,9 +684,12 @@ class ShardedCDBG:
         if valid is None:
             valid = np.ones(packed.shape[0], dtype=bool)
         fn = self._cached(
-            "get_flags", (self.keys.shape, packed.shape),
+            "get_flags", (self.keys.shape, packed.shape,
+                          self._pallas_eligible()),
             lambda: jax.shard_map(
-                _get_flags_body, mesh=self.mesh, check_vma=False,
+                functools.partial(_get_flags_body,
+                                  use_pallas=self._pallas_eligible()),
+                mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(), P()),
                 out_specs=P()))
         out = fn(self.keys, self.n, self.starts, self.flags,

@@ -48,10 +48,14 @@ def section_config5():
     core, shell, uniq = 1 << 15, 1 << 15, 1 << 13
     per_genome = core + shell + uniq          # 72k after padding -> 1<<17 run
 
+    # Bulk ingest: generate + append 32 genomes per dispatch, one window
+    # flush per genome_window=256 genomes (the multi-genome window flush).
+    gb = 32                                   # genomes per generated chunk
+    chunk_rows = gb * per_genome
     cfg = BFTConfig(k=k, initial_capacity=1 << 24,
                     initial_color_capacity=1 << 16,
-                    bloom_log2_bits=24, batch_size=1 << 17, pending_runs=1,
-                    treshold_compression=4)
+                    bloom_log2_bits=24, batch_size=1 << 23, pending_runs=5,
+                    genome_window=256, treshold_compression=4)
     dbg = ColoredDBG(cfg)
     # Pre-size the color bitmap width for the final genome count: the flush
     # program is shape-specialized on cw, so growing width on the fly would
@@ -59,34 +63,46 @@ def section_config5():
     # compiles over the tunnel); one width from the start = one compile.
     dbg._ensure_colors(0, 0, genomes=n_genomes)
 
+    tailmask = jnp.asarray([0xFFFFFFFF] * 3 + [0xFFFFFFFC],
+                           dtype=jnp.uint32)[None, :]
+
     def rand_keys(key, n):
-        bits = jax.random.bits(key, (n, w), jnp.uint32)
         # clear the 2 unused tail bits of k=63 (63*2 = 126 of 128)
-        return bits & jnp.asarray([0xFFFFFFFF] * 3 + [0xFFFFFFFC],
-                                  dtype=jnp.uint32)[None, :]
+        return jax.random.bits(key, (n, w), jnp.uint32) & tailmask
 
     log("  generating device data...")
     core_keys = rand_keys(jax.random.PRNGKey(1), core)
-    cluster_keys = [rand_keys(jax.random.PRNGKey(100 + c), shell)
-                    for c in range(n_clusters)]
-    jax.block_until_ready((core_keys, cluster_keys))
+    cluster_keys = jnp.stack([rand_keys(jax.random.PRNGKey(100 + c), shell)
+                              for c in range(n_clusters)])
+
+    @jax.jit
+    def gen_chunk(base):
+        # gb genomes starting at absolute id ``base`` (base % 16 == 0, so the
+        # cluster assignment pattern is identical across chunks -> 1 compile)
+        parts = []
+        root = jax.random.PRNGKey(10_000)
+        for g in range(gb):
+            u = jax.random.bits(jax.random.fold_in(root, base + g),
+                                (uniq, w), jnp.uint32) & tailmask
+            parts += [core_keys, cluster_keys[g % n_clusters], u]
+        return jnp.concatenate(parts)
+
+    row_gid = (jnp.arange(chunk_rows, dtype=jnp.int32) // per_genome)
+    valid_rows = jnp.ones((chunk_rows,), dtype=bool)
+    jax.block_until_ready((core_keys, cluster_keys, row_gid, valid_rows))
     log("  device data ready; building...")
 
-    pad = (1 << 17) - per_genome
     t0 = time.monotonic()
-    for g in range(n_genomes):
-        u = rand_keys(jax.random.PRNGKey(10_000 + g), uniq)
-        batch = jnp.concatenate([
-            core_keys, cluster_keys[g % n_clusters], u,
-            jnp.zeros((pad, w), jnp.uint32)])
-        valid = jnp.arange(1 << 17) < per_genome
-        dbg.start_genome(f"g{g}")
-        dbg.insert_kmers_packed(batch, valid)
-        dbg.end_genome()   # flush + per-genome color compression
-        if g < 3 or g % 50 == 49:
-            log(f"  genome {g+1}/{n_genomes}: n={dbg.nb_kmers} "
-                f"d={dbg.nb_color_classes} t={time.monotonic()-t0:.0f}s")
+    for base in range(0, n_genomes, gb):
+        batch = gen_chunk(jnp.asarray(base, jnp.int32))
+        dbg.insert_genomes_bulk([f"g{g}" for g in range(base, base + gb)],
+                                batch, row_gid, valid_rows)
+        if base % 160 == 0:
+            log(f"  genome {base + gb}/{n_genomes}: "
+                f"t={time.monotonic()-t0:.0f}s")
+    dbg.flush()
     dt = time.monotonic() - t0
+    log(f"  built: n={dbg.nb_kmers} d={dbg.nb_color_classes} t={dt:.1f}s")
 
     stats = dbg.memory_stats()
     sd, dd = dbg._sd, dbg._dd

@@ -411,3 +411,110 @@ def test_prefix_matching_with_annotations(built):
         assert [s for s, _ in seen] == want
         for (s, ids_), km in zip(seen, kms):
             assert list(ids_) == sorted(oracle.colors(km))
+
+
+def test_window_flush_stress():
+    """Multi-genome window flush edge cases vs the oracle: many genomes per
+    window, window-boundary flushes, mid-genome buffer-full flushes, keys
+    shared by > color_small_width genomes (straight-to-dense and
+    small->dense overflow child classes), and interleaved reads.
+
+    Reference semantics being preserved: the per-genome color no-op rule
+    (src/retrieveAnnotation.c:278) and insertion-order genome ids
+    (src/file_io.c:124-125)."""
+    rng = np.random.default_rng(123)
+    k = 11
+    n_genomes = 70
+    # window=32 forces 3 window flushes; tiny buffer forces mid-genome
+    # flushes; S=4 makes dense overflow common.
+    cfg = small_config(k, genome_window=32, pending_runs=1, batch_size=64,
+                      color_small_width=4, treshold_compression=7)
+    dbg = ColoredDBG(cfg)
+    oracle = OracleBFT(k)
+
+    core = random_genome(rng, 80)              # shared by ALL genomes
+    cluster = [random_genome(rng, 60) for _ in range(5)]
+    for g in range(n_genomes):
+        seq = core + cluster[g % 5] + random_genome(rng, 40)
+        kms = genome_kmers(seq, k)
+        rng.shuffle(kms)
+        kms = kms + kms[:7]                    # in-genome duplicates
+        oracle.insert_genome(f"g{g}", kms)
+        dbg.insert_kmer_strings(f"g{g}", kms)
+        if g in (5, 33):                       # interleaved read barriers
+            assert dbg.nb_kmers == len(oracle.all_kmers())
+
+    assert set(dbg.extract_kmer_strings()) == oracle.all_kmers()
+    allk = sorted(oracle.all_kmers())
+    for km in allk[::5]:
+        ann = dbg.get_colors(km)
+        got = [1 if ann.presence_genome(j) else 0 for j in range(n_genomes)]
+        assert got == oracle.presence_row(km), km
+    # dense classes must exist (core k-mers span 70 genomes > S=4)
+    assert dbg._dd > 0
+
+
+def test_iteration_early_termination(built):
+    """Reference callback contract (src/bft.c:1051,1096 doc blocks): a
+    callback returning 0 stops the walk; a None-returning Python callback
+    iterates to the end."""
+    dbg, oracle, _ = built
+    seen = []
+    dbg.iterate_over_kmers(lambda km, ann, fl: (seen.append(km), 0)[1])
+    assert len(seen) == 1                      # stopped after the first
+    seen2 = []
+    dbg.iterate_over_kmers(
+        lambda km, ann, fl: (seen2.append(km), len(seen2) < 5)[1])
+    assert len(seen2) == 5                     # truthy continues, falsy stops
+    seen3 = []
+    dbg.iterate_over_kmers(lambda km, ann, fl: seen3.append(km))  # None
+    assert set(seen3) == oracle.all_kmers()
+    # prefix variant
+    pref = sorted(oracle.all_kmers())[0][:1]
+    seen4 = []
+    dbg.iterate_over_prefix(pref, lambda km, ann, fl: (seen4.append(km), 0)[1])
+    assert len(seen4) == 1
+
+
+def test_neighbors_with_colors(built):
+    """Reference get_neighbors (src/bft.c:804): neighbor records carry
+    immediately-queryable annotations (src/branchingNode.c:112)."""
+    dbg, oracle, _ = built
+    kms = sorted(oracle.all_kmers())[:40]
+    from bloomfiltertrie_tpu.ops import codec as cdc
+    packed, valid = cdc.encode_strings(kms, dbg.k)
+    out = dbg.neighbors_with_colors_packed(packed, np.asarray(valid))
+    for i, km in enumerate(kms):
+        succ = {cdc.decode_strings(out["succ"]["packed"][i, b:b+1], dbg.k)[0]
+                for b in range(4) if out["succ"]["found"][i, b]}
+        assert succ == set(oracle.successors(km)), km
+        pred = {cdc.decode_strings(out["pred"]["packed"][i, b:b+1], dbg.k)[0]
+                for b in range(4) if out["pred"]["found"][i, b]}
+        assert pred == set(oracle.predecessors(km)), km
+        for b in range(4):
+            if out["succ"]["found"][i, b]:
+                nb = cdc.decode_strings(
+                    out["succ"]["packed"][i, b:b+1], dbg.k)[0]
+                bm = out["succ"]["bitmap"][i, b]
+                got = {g for g in range(dbg.nb_genomes)
+                       if (bm[g >> 5] >> np.uint32(g & 31)) & 1}
+                assert got == oracle.colors(nb), (km, nb)
+    # single-k-mer convenience
+    s, p = dbg.neighbors_with_colors(kms[0])
+    assert {x[0] for x in s} == set(oracle.successors(kms[0]))
+    for nb, ann in s + p:
+        assert set(ann.list_id_genomes().tolist()) == oracle.colors(nb)
+
+
+def test_class_size_stats(built):
+    """Reference printMemory.c:68 analogue: per-class-size histogram and
+    biggest class, checked against the oracle's color sets."""
+    dbg, oracle, _ = built
+    dbg.compress_colors()   # histogram of LIVE classes only
+    css = dbg.class_size_stats()
+    want_sets = {frozenset(oracle.colors(km)) for km in oracle.all_kmers()}
+    want_hist = np.bincount([len(s) for s in want_sets])
+    assert css["biggest_class"] == max(len(s) for s in want_sets)
+    np.testing.assert_array_equal(css["histogram"], want_hist)
+    ms = dbg.memory_stats()
+    assert ms["biggest_class"] == css["biggest_class"]

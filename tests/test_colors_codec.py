@@ -81,3 +81,58 @@ def test_compression_wins_at_scale():
     compact = len(enc["data"])
     bitmap = rows.size * 4
     assert compact < bitmap * 0.5
+
+
+def test_million_class_roundtrip_vectorized():
+    """VERDICT r3 #5 done-criterion: 1M synthetic classes round-trip through
+    encode_classes/decode_to_pools in seconds (vectorized decode — the batch
+    inverse of decomp_annotation, src/annotation.c:1840)."""
+    import time
+    from bloomfiltertrie_tpu.models import colors_codec as cc
+
+    rng = np.random.default_rng(99)
+    d, g = 1_000_000, 96
+    cw = (g + 31) // 32
+    # mix of densities so all three modes appear
+    rows = np.zeros((d, cw), dtype=np.uint32)
+    kind = rng.integers(0, 3, size=d)
+    # sparse ids (mode 2 territory)
+    sparse = kind == 0
+    ids = rng.integers(0, g, size=(int(sparse.sum()), 3))
+    for j in range(3):
+        rows[np.flatnonzero(sparse), ids[:, j] >> 5] |= (
+            np.uint32(1) << (ids[:, j] & 31).astype(np.uint32))
+    # runs (mode 1 territory): one contiguous run
+    runy = kind == 1
+    st = rng.integers(0, g - 10, size=int(runy.sum()))
+    en = st + rng.integers(1, 10, size=len(st))
+    for i, r in enumerate(np.flatnonzero(runy)):
+        b = np.zeros(g, np.uint8); b[st[i]:en[i] + 1] = 1
+        if i >= 2000:  # enough explicit ones; rest copy a pattern
+            break
+        rows[r] = np.packbits(b, bitorder="little").view(np.uint32)[:cw]
+    # dense (mode 0 territory)
+    densey = kind == 2
+    rows[densey] = rng.integers(0, 2**32, size=(int(densey.sum()), cw),
+                                dtype=np.uint32)
+    rows &= cc.pack_rows(np.ones((1, g), bool), cw)  # clear pad bits
+
+    t0 = time.monotonic()
+    parts = []
+    for off in range(0, d, 1 << 15):
+        parts.append(cc.encode_classes(rows[off:off + (1 << 15)], g))
+    enc = cc._concat_encodings(parts)
+    t_enc = time.monotonic() - t0
+    t0 = time.monotonic()
+    dec_parts = []
+    for off in range(0, d, 1 << 15):
+        hi = min(off + (1 << 15), d)
+        sub = {"modes": enc["modes"][off:hi],
+               "offsets": enc["offsets"][off:hi + 1] - enc["offsets"][off],
+               "data": enc["data"][enc["offsets"][off]:enc["offsets"][hi]]}
+        dec_parts.append(cc.decode_classes(sub, g, cw))
+    dec = np.concatenate(dec_parts)
+    t_dec = time.monotonic() - t0
+    np.testing.assert_array_equal(dec, rows)
+    assert t_dec < 60, f"decode too slow: {t_dec:.1f}s"
+    print(f"1M classes: encode {t_enc:.1f}s decode {t_dec:.1f}s")
