@@ -25,11 +25,13 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from bloomfiltertrie_tpu.ops import bloom as bloom_ops
 from bloomfiltertrie_tpu.ops import sortedset as ss
 
-INT32_MAX = jnp.int32(2**31 - 1)
+# numpy scalar: module import must stay backend-free (see ops/sortedset.py)
+INT32_MAX = np.int32(2**31 - 1)
 
 
 @jax.tree_util.register_dataclass
@@ -704,22 +706,25 @@ def _suffix_segment_or(head: jnp.ndarray, bits: tuple):
     """Per-row OR of ``bits`` over [row .. end of row's run].
 
     ``head`` marks run starts in a sorted array; at a head row the result is
-    the full run's OR.  Implemented as a segmented inclusive scan on the
-    reversed arrays (reset at reversed-segment starts = original run ends),
-    then reversed back — O(T log T) elementwise work, no gathers/scatters.
+    the full run's OR.  Implemented as a manual log-step shift-OR (Hillis-
+    Steele over suffixes with a run-id guard): ceil(log2 T) rounds of
+    shift + compare + select — pure elementwise/pad/slice ops, O(T log T)
+    work, no gathers/scatters, and a compiler-friendly flat graph (an
+    associative_scan variant produced a recursive program the TPU compile
+    helper choked on at T~20M).
     """
-    end_flag = jnp.concatenate([head[1:], jnp.ones((1,), dtype=bool)])
-    relems = (jnp.flip(end_flag),) + tuple(jnp.flip(b) for b in bits)
-
-    def comb(a, b):
-        af, am = a[0], a[1:]
-        bf, bm = b[0], b[1:]
-        return ((af | bf,)
-                + tuple(jnp.where(bf, bj, aj | bj)
-                        for aj, bj in zip(am, bm)))
-
-    out = jax.lax.associative_scan(comb, relems)
-    return tuple(jnp.flip(o) for o in out[1:])
+    t_rows = head.shape[0]
+    run = jnp.cumsum(head.astype(jnp.int32))   # run id per row (monotonic)
+    vals = list(bits)
+    s = 1
+    while s < t_rows:
+        run_s = jnp.concatenate([run[s:], jnp.full((s,), -1, jnp.int32)])
+        same = run_s == run
+        for j, v in enumerate(vals):
+            v_s = jnp.concatenate([v[s:], jnp.zeros((s,), v.dtype)])
+            vals[j] = v | jnp.where(same, v_s, 0)
+        s <<= 1
+    return tuple(vals)
 
 
 def flush_stage_a_impl(table: KmerTable, buf: PendingBuffer,

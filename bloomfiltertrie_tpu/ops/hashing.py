@@ -12,9 +12,13 @@ exact hash need not match the reference: SURVEY §3.3 — Bloom behavior affects
 from __future__ import annotations
 
 import jax.numpy as jnp
+import numpy as np
 
-_C1 = jnp.uint32(0xCC9E2D51)
-_C2 = jnp.uint32(0x1B873593)
+# numpy scalars (not jnp arrays): module import must not initialize the XLA
+# backend — jax.distributed.initialize in multi-process runs comes after
+# package import.  Inside traced code they behave identically.
+_C1 = np.uint32(0xCC9E2D51)
+_C2 = np.uint32(0x1B873593)
 
 
 def _rotl(x, r):

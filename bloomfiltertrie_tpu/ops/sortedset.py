@@ -27,8 +27,12 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
-SENTINEL = jnp.uint32(0xFFFFFFFF)
+# numpy scalar (not a jnp array): module import must not initialize the XLA
+# backend — jax.distributed.initialize in multi-process runs comes after
+# package import.  Inside traced code it behaves identically.
+SENTINEL = np.uint32(0xFFFFFFFF)
 
 
 def mw_less(a: jnp.ndarray, b: jnp.ndarray) -> jnp.ndarray:

@@ -15,13 +15,25 @@ Usage (one command per host; degenerate single-process works unchanged):
     for path in multihost.files_for_process(all_files):
         ...parse + dbg.insert_genome(...)
 
-Genome ids must be globally consistent, so every process calls
-``start_genome`` for every genome (names come from the shared file list);
-only the k-mer payload is partitioned: for a file owned by another process,
-a host contributes an empty batch and the all_to_all still ships it the
-k-mers it owns.  For the common "each host parses its own files" flow, use
-:func:`files_for_process` to split the file list and
-:func:`scatter_batch_slices` to feed per-host slices of one file.
+Multi-controller SPMD contract (matters once num_processes > 1):
+
+  * Genome ids must be globally consistent, so every process calls
+    ``start_genome`` for every genome (names come from the shared file
+    list), and every process must issue the SAME sequence of insert/flush
+    dispatches — collectives pair up by program order across processes.
+  * A batch argument under a sharded in_spec is read REGION-WISE: each
+    process's devices see only the rows of that process's device slice, so
+    "owner passes the data, non-owner passes zeros" silently drops the
+    rows landing on remote regions.  Instead each process embeds its own
+    contribution into its own region with :func:`place_local_batch` (a
+    non-contributing process embeds an empty contribution — same shape,
+    same dispatch); the effective global batch is the concatenation.
+
+For the common flows use :func:`files_for_process` to split the file list
+(owner embeds the whole file, others embed nothing) and
+:func:`scatter_batch_slices` to split ONE huge genome across hosts (every
+host embeds its slice).  tests/multihost_worker.py is the executable
+reference for the full two-process protocol.
 """
 
 from __future__ import annotations
@@ -93,3 +105,35 @@ def host_local_batch(global_batch: np.ndarray,
     if valid is None:
         valid = np.ones(global_batch.shape[0], dtype=bool)
     return global_batch[sl], valid[sl]
+
+
+def place_local_batch(packed: np.ndarray, valid: np.ndarray | None,
+                      global_rows: int, process_index: int | None = None,
+                      num_processes: int | None = None):
+    """Embed this process's contribution into ITS region of a global batch.
+
+    Under a sharded in_spec, each process's devices read only the rows of
+    that process's device slice of the [global_rows] batch; rows placed
+    anywhere else are invisible to it.  This helper builds the per-process
+    view: ``packed`` lands at the start of the caller's region, everything
+    else is invalid padding.  Every process calls this (possibly with zero
+    rows) so dispatch sequences stay aligned; the effective global batch is
+    the concatenation of all processes' contributions.
+
+    Raises if ``packed`` exceeds the region capacity
+    (global_rows / num_processes) — raise ``global_rows`` in that case.
+    """
+    sl = scatter_batch_slices(global_rows, process_index, num_processes)
+    cap = sl.stop - sl.start
+    m = packed.shape[0]
+    if m > cap:
+        raise ValueError(
+            f"{m} contribution rows exceed this process's region capacity "
+            f"{cap}; raise global_rows (>= {m} * num_processes)")
+    if valid is None:
+        valid = np.ones((m,), dtype=bool)
+    out = np.zeros((global_rows,) + packed.shape[1:], dtype=packed.dtype)
+    ov = np.zeros((global_rows,), dtype=bool)
+    out[sl.start: sl.start + m] = packed
+    ov[sl.start: sl.start + m] = valid
+    return out, ov

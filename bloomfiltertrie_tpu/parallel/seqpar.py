@@ -25,7 +25,7 @@ from jax.sharding import Mesh, PartitionSpec as P
 from bloomfiltertrie_tpu.ops.codec import words_for_k
 
 AXIS = "shards"
-INVALID = jnp.uint8(4)
+INVALID = np.uint8(4)  # numpy scalar: import must not init the backend
 
 
 def kmerize_codes_device(codes: jnp.ndarray, k: int, n_windows: int):

@@ -135,10 +135,13 @@ def _flush_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
         "colored": jax.lax.psum(stats["colored"], AXIS),
         "dropped": drop_acc[0],
     }
-    per_shard = {"colored_small": stats["colored_small"][None],
-                 "colored_dense": stats["colored_dense"][None],
-                 "n_classes_seen": stats["n_classes_seen"][None],
-                 "small_full": stats["small_full"][None]}
+    # pmax-reduced to REPLICATED scalars: the host must never device_get a
+    # shard-axis array (non-addressable across processes in a real
+    # multi-host run — SURVEY §5 comm-backend row).
+    per_shard = {"colored_small": jax.lax.pmax(stats["colored_small"], AXIS),
+                 "colored_dense": jax.lax.pmax(stats["colored_dense"], AXIS),
+                 "n_classes_seen": jax.lax.pmax(stats["n_classes_seen"], AXIS),
+                 "small_full": jax.lax.pmax(stats["small_full"], AXIS)}
     return (table.keys[None], table.color_ref[None], table.flags[None],
             table.n[None], table.bucket_starts[None], colors.ids[None],
             colors.sd[None], colors.rows[None], colors.dd[None],
@@ -214,7 +217,8 @@ def _compress_body(keys, cref, flags, n, starts, ids, sd, rows, dd):
     colors = tbl.ColorStore(ids=ids[0], rows=rows[0], sd=sd[0], dd=dd[0])
     table, colors, stats = tbl.compress_colors(table, colors)
     return (table.color_ref[None], colors.ids[None], colors.sd[None],
-            colors.rows[None], colors.dd[None], stats["small_full"][None])
+            colors.rows[None], colors.dd[None],
+            jax.lax.pmax(stats["small_full"], AXIS))
 
 
 def _rebuild_bloom_body(keys, n, seeds, *, log2_bloom: int):
@@ -314,6 +318,17 @@ class ShardedCDBG:
             self._fn_cache[full_key] = fn
         return fn
 
+    def _reduced(self, x, op: str) -> int:
+        """max/sum of a shard-axis array as a host int, via a jitted
+        replicated reduction — works when shards span processes (a raw
+        device_get of a sharded array does not)."""
+        fn = self._cached(
+            "reduce", (op, x.shape, x.dtype.name),
+            lambda: jax.jit(
+                (jnp.max if op == "max" else jnp.sum),
+                out_shardings=jax.sharding.NamedSharding(self.mesh, P())))
+        return int(jax.device_get(fn(x)))
+
     # -- properties ------------------------------------------------------
     @property
     def k(self) -> int:
@@ -330,12 +345,11 @@ class ShardedCDBG:
     @property
     def nb_kmers(self) -> int:
         self.flush()
-        return int(np.asarray(jax.device_get(self.n)).sum())
+        return self._reduced(self.n, "sum")
 
     @property
     def nb_color_classes(self) -> int:
-        return int(np.asarray(jax.device_get(self.sd)).sum()
-                   + np.asarray(jax.device_get(self.dd)).sum())
+        return self._reduced(self.sd, "sum") + self._reduced(self.dd, "sum")
 
     # -- capacity --------------------------------------------------------
     def _pad_axis(self, arr, new_cap, axis, fill):
@@ -496,7 +510,7 @@ class ShardedCDBG:
                     affected_budget=budget),
                 mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS),) * 14 + (P(), P(AXIS), P()),
-                out_specs=((P(AXIS),) * 13 + (P(AXIS), P(), P(AXIS)))))
+                out_specs=((P(AXIS),) * 13 + (P(AXIS), P(), P()))))
         (self.keys, self.color_ref, self.flags, self.n, self.starts,
          self.ids, self.sd, self.rows, self.dd, self.bloom, self.run_keys,
          self.run_valid, self.run_used, self.drop_acc, totals,
@@ -508,14 +522,14 @@ class ShardedCDBG:
         self._pending_used = 0
         t = jax.device_get(totals)
         ps = jax.device_get(per_shard)
-        self._n_max = int(np.asarray(jax.device_get(self.n)).max())
-        self._sd_max = int(np.asarray(jax.device_get(self.sd)).max())
-        self._dd_max = int(np.asarray(jax.device_get(self.dd)).max())
-        self._small_full_max = int(np.asarray(ps["small_full"]).max())
-        if int(np.asarray(ps["n_classes_seen"]).max()) > budget:
+        self._n_max = self._reduced(self.n, "max")
+        self._sd_max = self._reduced(self.sd, "max")
+        self._dd_max = self._reduced(self.dd, "max")
+        self._small_full_max = int(ps["small_full"])
+        if int(ps["n_classes_seen"]) > budget:
             raise RuntimeError(
                 "affected-class budget violated on a shard "
-                f"({int(np.asarray(ps['n_classes_seen']).max())} > {budget})")
+                f"({int(ps['n_classes_seen'])} > {budget})")
         dropped = int(np.asarray(t["dropped"]).max())
         retry = self._since_flush
         self._since_flush = []
@@ -550,15 +564,14 @@ class ShardedCDBG:
             lambda: jax.shard_map(
                 _compress_body, mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS),) * 9,
-                out_specs=(P(AXIS),) * 6))
+                out_specs=(P(AXIS),) * 5 + (P(),)))
         (self.color_ref, self.ids, self.sd, self.rows, self.dd,
          small_full) = fn(
             self.keys, self.color_ref, self.flags, self.n, self.starts,
             self.ids, self.sd, self.rows, self.dd)
-        self._sd_max = int(np.asarray(jax.device_get(self.sd)).max())
-        self._dd_max = int(np.asarray(jax.device_get(self.dd)).max())
-        self._small_full_max = int(np.asarray(
-            jax.device_get(small_full)).max())
+        self._sd_max = self._reduced(self.sd, "max")
+        self._dd_max = self._reduced(self.dd, "max")
+        self._small_full_max = int(jax.device_get(small_full))
 
     # -- queries ---------------------------------------------------------
     def query_kmers_packed(self, packed, valid=None):

@@ -84,10 +84,12 @@ class FastxStream:
     for headers.  Multi-line sequences are supported in both formats.
     """
 
-    def __init__(self, path: str, k: int, chunk_bytes: int = 1 << 22):
+    def __init__(self, path: str, k: int, chunk_bytes: int = 1 << 22,
+                 threads: int = 1):
         self.path = path
         self.k = k
         self.chunk_bytes = chunk_bytes
+        self.threads = threads
 
     def _kmerize(self, fragment: bytes):
         from bloomfiltertrie_tpu import native
@@ -98,10 +100,39 @@ class FastxStream:
     def batches(self):
         """Yield (packed uint32[N, W], valid bool[N]) per k-merized fragment.
 
-        Sequence lines accumulate in ``pending`` and are k-merized in bulk
-        at record boundaries and chunk ends (one native-parser call per
-        ~chunk, not per line — per-call overhead would otherwise dominate
-        on 60-80 char FASTA lines).
+        With ``threads > 1`` the 2-bit rolling encode — the dominant cost,
+        run in the native parser which releases the GIL — fans out to a
+        worker pool while the serial stage keeps producing carry-correct
+        fragments; results yield strictly IN ORDER (a bounded deque of
+        futures), so downstream consumers see exactly the single-thread
+        stream.  This is the pod ingest math's requirement (~50 MB/s parse
+        per host sustained while routing): one core parses ~57 MB/s, the
+        pool scales it across cores (kseq.h:168 streams one record at a
+        time; here record assembly stays serial and cheap, encoding
+        parallelizes).
+        """
+        if self.threads <= 1:
+            for frag in self._fragments():
+                yield self._kmerize(frag)
+            return
+        import collections
+        from concurrent.futures import ThreadPoolExecutor
+        with ThreadPoolExecutor(self.threads) as ex:
+            pend = collections.deque()
+            for frag in self._fragments():
+                pend.append(ex.submit(self._kmerize, frag))
+                while len(pend) > 2 * self.threads:
+                    yield pend.popleft().result()
+            while pend:
+                yield pend.popleft().result()
+
+    def _fragments(self):
+        """Yield raw sequence fragments (bytes, each >= k, carry-joined).
+
+        Sequence lines accumulate in ``pending`` and are joined in bulk
+        at record boundaries and chunk ends (one fragment per ~chunk, not
+        per line — per-call overhead would otherwise dominate on 60-80
+        char FASTA lines).
         """
         k = self.k
         fmt = None          # ">" or "@"
@@ -114,7 +145,8 @@ class FastxStream:
         out = None
 
         def drain(end_of_record):
-            """k-merize carry+pending; update carry; return rows or None."""
+            """Join carry+pending; update carry; return the fragment or
+            None (fragments shorter than k cannot yield a k-mer)."""
             nonlocal carry, pending
             if not pending:
                 if end_of_record:
@@ -130,7 +162,7 @@ class FastxStream:
                 carry = fragment
                 return None
             if len(fragment) >= k:
-                return self._kmerize(fragment)
+                return fragment
             return None
 
         with open(self.path, "rb") as f:
@@ -209,13 +241,15 @@ class FastxStream:
                 np.concatenate([v for _, v in parts]))
 
 
-def read_fastx_file(path: str, k: int, chunk_bytes: int = 1 << 22):
+def read_fastx_file(path: str, k: int, chunk_bytes: int = 1 << 22,
+                    threads: int = 1):
     """FASTA or FASTQ file -> (packed k-mer windows [N, W], valid bool [N]).
 
     Auto-detects the format; parses in O(chunk_bytes) memory with a
-    (k-1)-base carry (see :class:`FastxStream`).
+    (k-1)-base carry (see :class:`FastxStream`).  ``threads > 1``
+    parallelizes the 2-bit encoding across cores.
     """
-    return FastxStream(path, k, chunk_bytes).read_all()
+    return FastxStream(path, k, chunk_bytes, threads=threads).read_all()
 
 
 # Backward-compatible alias (now FASTQ-capable and streaming).

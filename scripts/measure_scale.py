@@ -50,12 +50,12 @@ def section_config5():
 
     # Bulk ingest: generate + append 32 genomes per dispatch, one window
     # flush per genome_window=256 genomes (the multi-genome window flush).
-    gb = 32                                   # genomes per generated chunk
+    gb = 16                                   # genomes per generated chunk
     chunk_rows = gb * per_genome
     cfg = BFTConfig(k=k, initial_capacity=1 << 24,
                     initial_color_capacity=1 << 16,
                     bloom_log2_bits=24, batch_size=1 << 23, pending_runs=5,
-                    genome_window=256, treshold_compression=4)
+                    genome_window=128, treshold_compression=4)
     dbg = ColoredDBG(cfg)
     # Pre-size the color bitmap width for the final genome count: the flush
     # program is shape-specialized on cw, so growing width on the fly would
