@@ -202,6 +202,163 @@ def _get_flags_body(keys, n, starts, flags, queries, valid, *,
     return jax.lax.psum(local, AXIS)
 
 
+# ---------------------------------------------------------------------------
+# Distributed whole-graph algorithms (components / unitigs without gathering
+# the table to one device — VERDICT r3 #4).  Vertices are PADDED GLOBAL row
+# ids: gid = shard * cap + local_row (stable, unique; shards partition the
+# sorted key space, reference trie's first level as hash partition).  Label/
+# pointer vectors are the only thing exchanged: one all_gather of int32[cap]
+# per round over ICI, never the key tensors.
+# ---------------------------------------------------------------------------
+
+def _neighbor_links_global_body(keys, n, starts, *, k: int, shard_bits: int,
+                                route_cap: int, use_pallas: bool):
+    """Per-shard successor/predecessor GLOBAL row ids for the local rows.
+
+    Each shard probes its own rows' 8 neighbor candidates, routes each
+    candidate to its owner shard (all_to_all, EP-style like the insert
+    path), the owner answers with the global row id, and the replies ride
+    the inverse all_to_all back into the requester's slot order.
+    Returns (succ_g, pred_g int32[cap, 4]; -1 absent, dropped count).
+    """
+    n_sh = jax.lax.axis_size(AXIS)
+    me = jax.lax.axis_index(AXIS)
+    cap, w = keys.shape[1], keys.shape[2]
+    local = keys[0]
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    valid = iota < n[0]
+    succ_c, pred_c = graph_ops.neighbor_candidates(local, k)
+    cand = jnp.concatenate([succ_c.reshape(cap * 4, w),
+                            pred_c.reshape(cap * 4, w)])        # [8cap, W]
+    cvalid = jnp.tile(jnp.repeat(valid, 4), 2)
+    b = cand.shape[0]
+    shard = jnp.where(cvalid, shard_of_keys(cand, shard_bits), n_sh)
+    order = jnp.argsort(shard, stable=True).astype(jnp.int32)
+    shard_sorted = shard[order]
+    cand_sorted = cand[order]
+    counts = jnp.bincount(jnp.minimum(shard, n_sh), length=n_sh + 1)[:n_sh]
+    start = jnp.concatenate([jnp.zeros((1,), counts.dtype),
+                             jnp.cumsum(counts)[:-1]])
+    slot = (jnp.arange(b, dtype=jnp.int32)
+            - start[jnp.minimum(shard_sorted, n_sh - 1)].astype(jnp.int32))
+    ok = (shard_sorted < n_sh) & (slot < route_cap)
+    dest = jnp.where(ok, shard_sorted * route_cap + slot, n_sh * route_cap)
+    send = jnp.full((n_sh * route_cap, w), ss.SENTINEL, dtype=jnp.uint32)
+    send = send.at[dest].set(cand_sorted, mode="drop")
+    send_valid = jnp.zeros((n_sh * route_cap,), jnp.int32).at[dest].set(
+        ok.astype(jnp.int32), mode="drop")
+    dropped = jax.lax.psum(
+        jnp.sum((shard < n_sh).astype(jnp.int32))
+        - jnp.sum(ok.astype(jnp.int32)), AXIS)
+
+    recv = jax.lax.all_to_all(send.reshape(n_sh, route_cap, w), AXIS,
+                              split_axis=0, concat_axis=0,
+                              tiled=False).reshape(n_sh * route_cap, w)
+    recv_valid = jax.lax.all_to_all(
+        send_valid.reshape(n_sh, route_cap), AXIS, split_axis=0,
+        concat_axis=0, tiled=False).reshape(n_sh * route_cap) == 1
+    found, idx = _shard_lookup(local, n[0], starts[0], recv, recv_valid,
+                               use_pallas)
+    reply_send = jnp.where(found, me * cap + idx, -1)
+    reply = jax.lax.all_to_all(
+        reply_send.reshape(n_sh, route_cap), AXIS, split_axis=0,
+        concat_axis=0, tiled=False).reshape(n_sh * route_cap)
+
+    ans_sorted = jnp.where(ok, reply[jnp.minimum(dest, n_sh * route_cap - 1)],
+                           -1)
+    ans = jnp.full((b,), -1, jnp.int32).at[order].set(ans_sorted)
+    succ_g = ans[: cap * 4].reshape(cap, 4)
+    pred_g = ans[cap * 4:].reshape(cap, 4)
+    return succ_g[None], pred_g[None], dropped
+
+
+def _comp_round_body(lab, succ_g, pred_g, n):
+    """One distributed component round: all_gather labels, pull-min over
+    both edge directions (hooking), double pointer jump (compression).
+    Shiloach-Vishkin over global padded ids (reference snippets.c:937)."""
+    cap = lab.shape[1]
+    full = jax.lax.all_gather(lab[0], AXIS, tiled=True)   # [n_sh*cap]
+    me = jax.lax.axis_index(AXIS)
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    valid = iota < n[0]
+    gid = me * cap + iota
+    big = jnp.int32(2**31 - 1)
+
+    def pull(nb):     # [cap, 4] global ids -> min neighbor label
+        safe = jnp.maximum(nb, 0)
+        return jnp.min(jnp.where(nb >= 0, full[safe], big), axis=1)
+
+    l2 = jnp.minimum(lab[0], jnp.minimum(pull(succ_g[0]), pull(pred_g[0])))
+    l2 = jnp.where(valid, l2, gid)
+    l2 = full[l2]
+    l2 = full[l2]
+    l2 = jnp.where(valid, jnp.minimum(l2, lab[0]), gid)
+    changed = jax.lax.psum(
+        jnp.sum((l2 != lab[0]).astype(jnp.int32)), AXIS)
+    return l2[None], changed
+
+
+def _unitig_assign_body(succ_g, pred_g, n, *, rounds: int):
+    """Distributed unitig partition by pointer doubling over global ids.
+
+    Chain edge u->v iff outdeg(u)==1 and indeg(v)==1 (reference interior
+    rule, snippets.c:115); both prv and nxt derive LOCALLY from the edge +
+    one all_gather of the degree vectors; each doubling round exchanges the
+    ptr/lab/dist vectors (all_gather over ICI).  Cycles are cut before
+    their min-gid vertex.  Returns (uid global id, pos) int32[cap].
+    """
+    cap = succ_g.shape[1]
+    me = jax.lax.axis_index(AXIS)
+    iota = jnp.arange(cap, dtype=jnp.int32)
+    valid = iota < n[0]
+    gid = me * cap + iota
+    outdeg = jnp.sum((succ_g[0] >= 0).astype(jnp.int32), axis=1)
+    indeg = jnp.sum((pred_g[0] >= 0).astype(jnp.int32), axis=1)
+    out_full = jax.lax.all_gather(outdeg, AXIS, tiled=True)
+    in_full = jax.lax.all_gather(indeg, AXIS, tiled=True)
+
+    only_succ = jnp.max(succ_g[0], axis=1)
+    nxt = jnp.where(valid & (outdeg == 1), only_succ, -1)
+    nxt = jnp.where((nxt >= 0) & (in_full[jnp.maximum(nxt, 0)] == 1),
+                    nxt, -1)
+    nxt = jnp.where(nxt == gid, -1, nxt)       # cut self-loops
+    only_pred = jnp.max(pred_g[0], axis=1)
+    prv = jnp.where(valid & (indeg == 1), only_pred, -1)
+    prv = jnp.where((prv >= 0) & (out_full[jnp.maximum(prv, 0)] == 1),
+                    prv, -1)
+    prv = jnp.where(prv == gid, -1, prv)
+
+    # Pass A: min-label doubling along prv to find cycle minima.
+    ptr = jnp.where(prv >= 0, prv, gid)
+    lab = gid
+
+    def round_a(_, state):
+        ptr, lab = state
+        fp = jax.lax.all_gather(ptr, AXIS, tiled=True)
+        fl = jax.lax.all_gather(lab, AXIS, tiled=True)
+        return fp[ptr], jnp.minimum(lab, fl[ptr])
+
+    ptr, lab = jax.lax.fori_loop(0, rounds, round_a, (ptr, lab))
+    fprv = jax.lax.all_gather(prv, AXIS, tiled=True)
+    is_cycle = fprv[ptr] >= 0
+    cut = is_cycle & (lab == gid)
+    prv = jnp.where(cut, -1, prv)
+
+    # Pass B: head pointer + distance doubling.
+    ptr = jnp.where(prv >= 0, prv, gid)
+    dist = (prv >= 0).astype(jnp.int32)
+
+    def round_b(_, state):
+        ptr, dist = state
+        fp = jax.lax.all_gather(ptr, AXIS, tiled=True)
+        fd = jax.lax.all_gather(dist, AXIS, tiled=True)
+        return fp[ptr], dist + fd[ptr]
+
+    ptr, dist = jax.lax.fori_loop(0, rounds, round_b, (ptr, dist))
+    uid = jnp.where(valid, ptr, -1)
+    return uid[None], jnp.where(valid, dist, 0)[None]
+
+
 def _prefix_range_body(keys, n, lo_key, hi_key):
     """Per-shard [lo, hi) row range of keys within [lo_key, hi_key]."""
     lo = ss.searchsorted(keys[0], lo_key[None], side="left")[0]
@@ -708,6 +865,134 @@ class ShardedCDBG:
         out = fn(self.keys, self.n, self.starts, self.flags,
                  jnp.asarray(packed), jnp.asarray(valid))
         return np.asarray(out).astype(np.uint8)
+
+    # -- distributed whole-graph algorithms -------------------------------
+    def neighbor_links_global(self, route_factor: float = 2.0):
+        """Sharded successor/predecessor GLOBAL row-id matrices.
+
+        Returns (succ_g, pred_g) int32[n_shards, cap, 4] sharded over the
+        mesh; gid = shard * cap + local_row; -1 = absent.  Raises if the
+        all_to_all route capacity overflowed (raise ``route_factor``).
+        """
+        self.flush()
+        n_sh = self.n_shards
+        cap = self.keys.shape[1]
+        route_cap = min(8 * cap, max(
+            int(math.ceil(8 * cap / n_sh * route_factor)), 32))
+        fn = self._cached(
+            "nbr_links", (self.keys.shape, route_cap,
+                          self._pallas_eligible()),
+            lambda: jax.shard_map(
+                functools.partial(
+                    _neighbor_links_global_body, k=self.k,
+                    shard_bits=self.config.shard_bits, route_cap=route_cap,
+                    use_pallas=self._pallas_eligible()),
+                mesh=self.mesh, check_vma=False,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(AXIS), P())))
+        succ_g, pred_g, dropped = fn(self.keys, self.n, self.starts)
+        if int(jax.device_get(dropped)):
+            raise RuntimeError(
+                f"neighbor routing overflowed ({int(jax.device_get(dropped))}"
+                f" candidates dropped); retry with a larger route_factor "
+                f"(> {route_factor})")
+        return succ_g, pred_g
+
+    def nb_connected_components(self, links=None) -> int:
+        """Connected-component count WITHOUT gathering the table
+        (reference get_nb_connected_component snippets.c:937): vertices are
+        global padded row ids, each round exchanges only the label vector
+        (one all_gather over ICI) — Shiloach-Vishkin hooking + jumping."""
+        succ_g, pred_g = links or self.neighbor_links_global()
+        n_sh, cap = self.n_shards, self.keys.shape[1]
+        lab0 = (jnp.arange(n_sh * cap, dtype=jnp.int32)
+                .reshape(n_sh, cap))
+        lab = self._shardit(np.asarray(lab0))
+        fn = self._cached(
+            "comp_round", (succ_g.shape,),
+            lambda: jax.shard_map(
+                _comp_round_body, mesh=self.mesh, check_vma=False,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P())))
+        while True:
+            lab, changed = fn(lab, succ_g, pred_g, self.n)
+            if not int(jax.device_get(changed)):
+                break
+        count_fn = self._cached(
+            "comp_count", (lab.shape,),
+            lambda: jax.shard_map(
+                lambda lab, n: jax.lax.psum(jnp.sum(
+                    ((lab[0] == jax.lax.axis_index(AXIS)
+                      * lab.shape[1]
+                      + jnp.arange(lab.shape[1], dtype=jnp.int32))
+                     & (jnp.arange(lab.shape[1], dtype=jnp.int32) < n[0])
+                     ).astype(jnp.int32)), AXIS),
+                mesh=self.mesh, check_vma=False,
+                in_specs=(P(AXIS), P(AXIS)), out_specs=P()))
+        return int(jax.device_get(count_fn(lab, self.n)))
+
+    def unitig_assign_global(self, links=None):
+        """Distributed unitig partition: (uid global id, pos) int32 sharded
+        [n_shards, cap] (reference extract_simple_paths snippets.c:115)."""
+        succ_g, pred_g = links or self.neighbor_links_global()
+        n_sh, cap = self.n_shards, self.keys.shape[1]
+        rounds = max(int(n_sh * cap - 1).bit_length(), 1) + 1
+        fn = self._cached(
+            "unitig", (succ_g.shape, rounds),
+            lambda: jax.shard_map(
+                functools.partial(_unitig_assign_body, rounds=rounds),
+                mesh=self.mesh, check_vma=False,
+                in_specs=(P(AXIS), P(AXIS), P(AXIS)),
+                out_specs=(P(AXIS), P(AXIS))))
+        return fn(succ_g, pred_g, self.n)
+
+    def extract_unitigs(self) -> list[str]:
+        """Unitig strings from the distributed partition.
+
+        Device work is fully sharded (probe + doubling); the HOST fetch is
+        per-row (uid, pos, last base) + the head rows' keys — never the
+        whole key tensor at once on one device.  (Host assembly requires
+        addressable shards, i.e. a single-process mesh.)
+        """
+        from bloomfiltertrie_tpu.models import graph as graph_mod
+        uid, pos = self.unitig_assign_global()
+        ns = np.asarray(jax.device_get(self.n))
+        cap = self.keys.shape[1]
+        _, jw, sh = graph_mod.tail_info(self.k, self.config.words)
+        uid_h, pos_h, base_h, gid_h = [], [], [], []
+        for s in range(self.n_shards):
+            n_s = int(ns[s])
+            if not n_s:
+                continue
+            uid_h.append(np.asarray(jax.device_get(uid[s, :n_s])))
+            pos_h.append(np.asarray(jax.device_get(pos[s, :n_s])))
+            keys_s = np.asarray(jax.device_get(self.keys[s, :n_s, jw]))
+            base_h.append((keys_s >> np.uint32(sh)) & 3)
+            gid_h.append(s * cap + np.arange(n_s, dtype=np.int64))
+        if not uid_h:
+            return []
+        uid_a = np.concatenate(uid_h)
+        pos_a = np.concatenate(pos_h)
+        base_a = np.concatenate(base_h).astype(np.int64)
+        gid_a = np.concatenate(gid_h)
+        order = np.lexsort((pos_a, uid_a))
+        uid_s, pos_s, base_s, gid_s = (uid_a[order], pos_a[order],
+                                       base_a[order], gid_a[order])
+        heads_gid = gid_s[pos_s == 0]
+        # fetch head keys per shard in one gather each (not per unitig)
+        head_keys = np.zeros((len(heads_gid), self.config.words), np.uint32)
+        hshard = (heads_gid // cap).astype(np.int64)
+        hlocal = (heads_gid % cap).astype(np.int64)
+        for s in np.unique(hshard):
+            sel = hshard == s
+            head_keys[sel] = np.asarray(jax.device_get(
+                self.keys[int(s)][jnp.asarray(hlocal[sel])]))
+        heads = codec.decode_strings(head_keys, self.k)
+        bases = np.array(list("ACGT"))[base_s]
+        bounds = np.flatnonzero(pos_s == 0)
+        ends = np.append(bounds[1:], len(pos_s))
+        return [heads[u] + "".join(bases[b + 1: e])
+                for u, (b, e) in enumerate(zip(bounds, ends))]
 
     # -- extraction / iteration ------------------------------------------
     def extract_kmers_packed(self) -> np.ndarray:
