@@ -1081,7 +1081,8 @@ class ColoredDBG:
             ids = np.asarray(jax.device_get(self.colors.ids))[:sd]
             sizes.append((ids != tbl.EMPTY_ID).sum(axis=1))
         if dd:
-            rows = np.asarray(jax.device_get(self.colors.rows))[:dd]
+            rows = np.ascontiguousarray(
+                np.asarray(jax.device_get(self.colors.rows))[:dd])
             bits = np.unpackbits(rows.view(np.uint8), axis=1,
                                  bitorder="little")
             sizes.append(bits.sum(axis=1))

@@ -147,3 +147,120 @@ def merge_cdbg(a: ColoredDBG, b: ColoredDBG) -> ColoredDBG:
     out._sd, out._dd = sd, dd
     out.compress_colors()  # gc duplicate/unreferenced classes
     return out
+
+
+# ---------------------------------------------------------------------------
+# Sharded merge: b's rows replay through a's window-flush machinery
+# ---------------------------------------------------------------------------
+
+def _iter_color_pairs(keys, cref, ids_pool, rows_pool, wlo, whi,
+                      chunk: int = 1 << 18):
+    """Yield (keys_rep, gid) pairs of one table slice restricted to genomes
+    [wlo, whi): one pair per (k-mer, genome-of-its-class-in-window)."""
+    from bloomfiltertrie_tpu.models import colors_codec
+    from bloomfiltertrie_tpu.models import table as tbl
+
+    width = whi - wlo
+    for off in range(0, len(keys), chunk):
+        kk = keys[off: off + chunk]
+        c = cref[off: off + chunk]
+        m = len(kk)
+        live = c >= 0
+        dense = live & ((c & tbl.DENSE_TAG) != 0)
+        small = live & ~dense
+        bits = np.zeros((m, width), dtype=bool)
+        if small.any():
+            srow = ids_pool[c[small]]                      # [ms, S]
+            inwin = (srow != tbl.EMPTY_ID) & (srow >= wlo) & (srow < whi)
+            r, t = np.nonzero(inwin)
+            bits[np.flatnonzero(small)[r], srow[r, t] - wlo] = True
+        if dense.any():
+            drow = rows_pool[c[dense] & ~tbl.DENSE_TAG]    # [md, cw]
+            full = colors_codec.unpack_rows(drow, rows_pool.shape[1] * 32)
+            bits[dense] = full[:, wlo:whi]
+        r, g = np.nonzero(bits)
+        if len(r):
+            yield kk[r], (g + wlo).astype(np.int64)
+
+
+def _shard_views(b):
+    """Yield (keys, cref, flags, ids_pool, rows_pool) host views per shard
+    of a ShardedCDBG or the single table of a ColoredDBG."""
+    import jax
+    if hasattr(b, "n_shards"):     # ShardedCDBG
+        ns = np.asarray(jax.device_get(b.n))
+        for s in range(b.n_shards):
+            n_s = int(ns[s])
+            if not n_s:
+                continue
+            sd_s = int(np.asarray(jax.device_get(b.sd))[s])
+            dd_s = int(np.asarray(jax.device_get(b.dd))[s])
+            yield (np.asarray(jax.device_get(b.keys[s, :n_s])),
+                   np.asarray(jax.device_get(b.color_ref[s, :n_s])),
+                   np.asarray(jax.device_get(b.flags[s, :n_s])),
+                   np.asarray(jax.device_get(b.ids[s, :max(sd_s, 1)])),
+                   np.asarray(jax.device_get(b.rows[s, :max(dd_s, 1)])))
+    else:
+        import jax
+        n = b.nb_kmers
+        if n:
+            yield (np.asarray(jax.device_get(b.table.keys))[:n],
+                   np.asarray(jax.device_get(b.table.color_ref))[:n],
+                   np.asarray(jax.device_get(b.table.flags))[:n],
+                   np.asarray(jax.device_get(b.colors.ids))[
+                       :max(b._sd, 1)],
+                   np.asarray(jax.device_get(b.colors.rows))[
+                       :max(b._dd, 1)])
+
+
+def merge_into_sharded(a, b):
+    """Union ``b`` into the ShardedCDBG ``a`` IN PLACE (component #23 at
+    mesh scale — reference intent ``merging_BFT`` src/merge.c:3-400 /
+    ``l_insert_kmer`` src/merge.c:402, here built on the live machinery).
+
+    ``b`` may be a ShardedCDBG (ANY mesh size — rows re-route through a's
+    all_to_all) or a single-device ColoredDBG.  b's genome ids append after
+    a's; duplicate k-mers take the union of their color sets; 2-bit marks
+    combine by max (as :func:`merge_cdbg`).  Implementation: b's
+    (k-mer, genome) pairs replay through a's multi-genome window flush, one
+    window of <= genome_window genomes at a time — the color union IS the
+    normal color update (per-genome no-op rule,
+    src/retrieveAnnotation.c:278), so no bespoke union code path exists.
+    """
+    if a.k != b.k:
+        raise ValueError("cannot merge indexes with different k")
+    a.flush()
+    b.flush()
+    offset = a.nb_genomes
+    names = list(b.genome_names)
+    gb = len(names)
+    a.genome_names.extend(names)
+    a._ensure_colors(0, 0)
+    prev_open = a._cur_gid
+    a._cur_gid = offset + gb - 1 if gb else prev_open
+    bwin = a.config.genome_window
+    views = list(_shard_views(b))
+    for wlo in range(0, gb, bwin):
+        whi = min(wlo + bwin, gb)
+        a.flush()                      # window boundary
+        a._window_start = offset + wlo  # pairs may arrive in any gid order
+        for keys, cref, _flags, ids_pool, rows_pool in views:
+            for kk, gids in _iter_color_pairs(keys, cref, ids_pool,
+                                              rows_pool, wlo, whi):
+                a.insert_kmers_packed(kk, row_gid=gids + offset)
+    a.flush()
+    a._cur_gid = prev_open
+    # marks: max-combine b's nonzero flags into a (merge_cdbg semantics)
+    for keys, _cref, flags, _i, _r in views:
+        if not (flags > 0).any():
+            continue
+        sel = flags > 0
+        cur = a.get_flags_packed(keys[sel])
+        new = np.maximum(cur, flags[sel])
+        for v in (1, 2, 3):
+            pick = new == v
+            if pick.any():
+                a.set_flags_packed(keys[sel][pick], int(v))
+    a._genomes_since_compress += gb
+    a.compress_colors()
+    return a

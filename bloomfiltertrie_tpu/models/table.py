@@ -909,8 +909,12 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
         poss.append(pos_r)
 
     # ---- small child rows: parent ids then appended window genomes ----
-    # Appended ids g0+pos are >= g0 >= every parent id (window invariant) and
-    # ascend in bit order, so the sorted-row invariant holds.
+    # In the normal flow appended ids g0+pos are >= every parent id (a flush
+    # drains the whole buffer, so classes never contain ids past the window
+    # start), but a REPLAYED window (sharded overflow retry, index merge)
+    # can meet parents that already hold window genomes — so the row is
+    # explicitly re-sorted by an odd-even transposition network (S passes of
+    # compare-exchange; EMPTY_ID = INT32_MAX pads sort to the end).
     child_cols = []
     for t in range(s_w):
         val = base_small[:, t]
@@ -918,6 +922,11 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
             val = jnp.where((pcount + r == t) & (r < n_add),
                             g0 + poss[r], val)
         child_cols.append(val)
+    for p in range(s_w):
+        for t in range(p % 2, s_w - 1, 2):
+            lo = jnp.minimum(child_cols[t], child_cols[t + 1])
+            hi = jnp.maximum(child_cols[t], child_cols[t + 1])
+            child_cols[t], child_cols[t + 1] = lo, hi
     dest_small = jnp.where(child_small, colors.sd + r_small, scap)
     ids_out = colors.ids
     for t in range(s_w):

@@ -20,11 +20,14 @@ the scaling story SURVEY §2's parallelism table calls for:
     answers for its own range, and results combine with ``psum``/``max``
     (exactly one shard can own any k-mer, so sums never double-count).
 
-Insert path (mirrors the single-chip buffer-and-flush design in
-models/table.py): each global batch is routed once (all_to_all) and appended
-raw to a per-shard run buffer; ALL insert work — dedup sort, table probe,
-color update, merge, Bloom — happens once per genome in a single shard_mapped
-``flush_genome``.  No host round trip happens between batches.
+Insert path (mirrors the single-chip multi-genome WINDOW flush in
+models/table.py): each global batch is routed once (all_to_all, carrying a
+window-relative genome id per row) and appended raw to a per-shard window
+buffer; ALL insert work — dedup sort, per-key genome-mask build, table
+probe, per-(class, mask) color update, merge, Bloom — happens once per
+``genome_window`` genomes / full buffer in the two shard_mapped flush
+stages.  No host round trip happens between batches and no per-genome
+device work exists at all.
 """
 
 from __future__ import annotations
@@ -66,87 +69,110 @@ def shard_of_keys(keys: jnp.ndarray, shard_bits: int) -> jnp.ndarray:
 # SPMD bodies (run inside shard_map; leading shard axis is size 1 per device)
 # ---------------------------------------------------------------------------
 
-def _route_to_owners(batch, valid, shard_bits: int, capacity: int):
-    """all_to_all routing of a local batch to owner shards.
+def _route_to_owners_gid(batch, valid, gid, shard_bits: int, capacity: int):
+    """all_to_all routing of a local (key, window-relative gid) batch.
 
-    Returns (recv_keys [n*capacity, W], recv_valid [n*capacity], dropped).
+    Returns (recv_keys [n*capacity, W], recv_gid, recv_valid, dropped).
     """
     n = jax.lax.axis_size(AXIS)
     b, w = batch.shape
     shard = jnp.where(valid, shard_of_keys(batch, shard_bits), n)
-    # Stable sort by destination shard to make segments contiguous.
     order = jnp.argsort(shard, stable=True).astype(jnp.int32)
     shard_sorted = shard[order]
     batch_sorted = batch[order]
+    gid_sorted = gid[order]
     counts = jnp.bincount(jnp.minimum(shard, n), length=n + 1)[:n]
     start = jnp.concatenate([jnp.zeros((1,), counts.dtype),
                              jnp.cumsum(counts)[:-1]])
-    slot = jnp.arange(b, dtype=jnp.int32) - start[jnp.minimum(shard_sorted, n - 1)].astype(jnp.int32)
+    slot = (jnp.arange(b, dtype=jnp.int32)
+            - start[jnp.minimum(shard_sorted, n - 1)].astype(jnp.int32))
     ok = (shard_sorted < n) & (slot < capacity)
     dest = jnp.where(ok, shard_sorted * capacity + slot, n * capacity)
     send_keys = jnp.full((n * capacity, w), ss.SENTINEL, dtype=jnp.uint32)
     send_keys = send_keys.at[dest].set(batch_sorted, mode="drop")
+    send_gid = jnp.zeros((n * capacity,), jnp.int32).at[dest].set(
+        gid_sorted, mode="drop")
     send_valid = jnp.zeros((n * capacity,), dtype=jnp.int32).at[dest].set(
         ok.astype(jnp.int32), mode="drop")
-    dropped = jnp.sum((shard < n).astype(jnp.int32)) - jnp.sum(ok.astype(jnp.int32))
+    dropped = (jnp.sum((shard < n).astype(jnp.int32))
+               - jnp.sum(ok.astype(jnp.int32)))
 
     recv_keys = jax.lax.all_to_all(
         send_keys.reshape(n, capacity, w), AXIS, split_axis=0, concat_axis=0,
         tiled=False).reshape(n * capacity, w)
+    recv_gid = jax.lax.all_to_all(
+        send_gid.reshape(n, capacity), AXIS, split_axis=0, concat_axis=0,
+        tiled=False).reshape(n * capacity)
     recv_valid = jax.lax.all_to_all(
         send_valid.reshape(n, capacity), AXIS, split_axis=0, concat_axis=0,
         tiled=False).reshape(n * capacity) == 1
-    return recv_keys, recv_valid, dropped
+    return recv_keys, recv_gid, recv_valid, dropped
 
 
-def _route_buffer_body(run_keys, run_valid, run_used, drop_acc, batch, valid,
-                       *, shard_bits: int, capacity: int):
-    """Per-batch step: route to owners, append raw to the local run buffer.
+def _route_buffer_body(buf_keys, buf_gid, buf_valid, drop_acc, batch, valid,
+                       gid, used, *, shard_bits: int, capacity: int):
+    """Per-batch step: route (key, gid) rows to owners, append raw to the
+    local window buffer at host-tracked offset ``used``.
 
     No table/color work and no host sync — the analogue of the single-chip
-    ``buffer_batch`` with an all_to_all in front.
+    ``buffer_append`` with an all_to_all in front.
     """
-    recv_keys, recv_valid, dropped = _route_to_owners(
-        batch, valid, shard_bits, capacity)
-    used = run_used[0]
-    rk = jax.lax.dynamic_update_slice(run_keys[0], recv_keys[None],
-                                      (used, 0, 0))
-    rv = jax.lax.dynamic_update_slice(run_valid[0], recv_valid[None],
-                                      (used, 0))
+    recv_keys, recv_gid, recv_valid, dropped = _route_to_owners_gid(
+        batch, valid, gid, shard_bits, capacity)
+    bk = jax.lax.dynamic_update_slice(buf_keys[0], recv_keys, (used, 0))
+    bg = jax.lax.dynamic_update_slice(buf_gid[0], recv_gid, (used,))
+    bv = jax.lax.dynamic_update_slice(buf_valid[0], recv_valid, (used,))
     dtot = jax.lax.psum(dropped, AXIS)
-    return rk[None], rv[None], (used + 1)[None], (drop_acc[0] + dtot)[None]
+    return bk[None], bg[None], bv[None], (drop_acc[0] + dtot)[None]
 
 
-def _flush_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
-                run_keys, run_valid, run_used, drop_acc, gid, singleton,
-                seeds, *, log2_bloom: int, use_pallas: bool,
-                use_bloom: bool = True, affected_budget: int | None = None):
+def _flush_a_body(keys, cref, flags, n, starts, buf_keys, buf_gid, buf_valid,
+                  used, *, window: int, use_pallas: bool):
+    """Stage A of the sharded window flush (models/table.py flush_stage_a),
+    per shard; the exact pair/new counts come back pmax-REPLICATED so the
+    host can size capacities and the budget without touching shard arrays."""
+    table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
+                          n=n[0], bucket_starts=starts[0])
+    buf = tbl.PendingBuffer(keys=buf_keys[0], gid=buf_gid[0],
+                            valid=buf_valid[0])
+    a = tbl.flush_stage_a_impl(table, buf, used, window,
+                               use_pallas=use_pallas)
+    out = {k_: v[None] for k_, v in a.items()
+           if k_ not in ("n_pairs", "n_new")}
+    out["n_pairs_max"] = jax.lax.pmax(a["n_pairs"], AXIS)
+    out["n_new_max"] = jax.lax.pmax(a["n_new"], AXIS)
+    return out
+
+
+def _flush_b_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
+                  skeys, cls2, mask2, keep2, found2, idx2, src2,
+                  drop_acc, g0, seeds, *, log2_bloom: int, budget: int,
+                  window: int, use_bloom: bool):
     table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
                           n=n[0], bucket_starts=starts[0])
     colors = tbl.ColorStore(ids=ids[0], rows=rows[0], sd=sd[0], dd=dd[0])
-    runs = tbl.PendingRuns(keys=run_keys[0], valid=run_valid[0],
-                           used=run_used[0])
-    table, colors, bloom, runs, stats = tbl.flush_genome_impl(
-        table, colors, runs, bloom_bits[0], gid, singleton[0],
-        log2_bloom, seeds[0], seeds[1], use_pallas=use_pallas,
-        use_bloom=use_bloom, affected_budget=affected_budget)
+    table, colors, bloom, stats = tbl.flush_stage_b_impl(
+        table, colors, bloom_bits[0],
+        skeys[0], cls2[0], mask2[0], keep2[0], found2[0], idx2[0], src2[0],
+        g0, log2_bloom, seeds[0], seeds[1],
+        budget=budget, window=window, use_bloom=use_bloom)
     totals = {
         "new": jax.lax.psum(stats["new"], AXIS),
-        "colored": jax.lax.psum(stats["colored"], AXIS),
+        "colored": jax.lax.psum(stats["colored_small"]
+                                + stats["colored_dense"], AXIS),
         "dropped": drop_acc[0],
     }
     # pmax-reduced to REPLICATED scalars: the host must never device_get a
     # shard-axis array (non-addressable across processes in a real
     # multi-host run — SURVEY §5 comm-backend row).
-    per_shard = {"colored_small": jax.lax.pmax(stats["colored_small"], AXIS),
-                 "colored_dense": jax.lax.pmax(stats["colored_dense"], AXIS),
-                 "n_classes_seen": jax.lax.pmax(stats["n_classes_seen"], AXIS),
-                 "small_full": jax.lax.pmax(stats["small_full"], AXIS)}
+    per_shard = {
+        "colored_pairs": jax.lax.pmax(
+            stats["colored_small"] + stats["colored_dense"], AXIS),
+        "small_full": jax.lax.pmax(stats["small_full"], AXIS)}
     return (table.keys[None], table.color_ref[None], table.flags[None],
             table.n[None], table.bucket_starts[None], colors.ids[None],
             colors.sd[None], colors.rows[None], colors.dd[None],
-            bloom[None], runs.keys[None], runs.valid[None],
-            runs.used[None], jnp.zeros_like(drop_acc), totals, per_shard)
+            bloom[None], jnp.zeros_like(drop_acc), totals, per_shard)
 
 
 def _shard_lookup(keys, n, starts, queries, valid, use_pallas: bool):
@@ -385,13 +411,6 @@ def _rebuild_bloom_body(keys, n, seeds, *, log2_bloom: int):
                          seeds[0], seeds[1])[None]
 
 
-def _append_singletons(ids, sd, gid):
-    colors = tbl.ColorStore(ids=ids[0], rows=jnp.zeros((1, 1), jnp.uint32),
-                            sd=sd[0], dd=jnp.int32(0))
-    colors, cls = tbl.append_singleton_class(colors, gid)
-    return colors.ids[None], colors.sd[None], cls[None]
-
-
 # ---------------------------------------------------------------------------
 # Host-side sharded index
 # ---------------------------------------------------------------------------
@@ -439,19 +458,21 @@ class ShardedCDBG:
         self.dd = shardit(np.zeros((n_shards,), np.int32))
         self.bloom = shardit(np.zeros(
             (n_shards, 1 << (self.config.bloom_log2_bits - 5)), np.uint32))
-        # Run buffers (created lazily once the route capacity is known).
-        self.run_keys = None
-        self.run_valid = None
-        self.run_used = None
+        # Window buffers (created lazily once the route capacity is known).
+        self.buf_keys = None     # [n_shards, bufcap, W]
+        self.buf_gid = None      # [n_shards, bufcap] window-relative ids
+        self.buf_valid = None    # [n_shards, bufcap]
         self.drop_acc = shardit(np.zeros((n_shards,), np.int32))
         self._route_cap = None
-        self._pending_used = 0
-        self._since_flush: list = []   # (chunk, vchunk) since last flush
+        self._buf_used = 0       # host-tracked rows in use (uniform/shard)
+        self._since_flush: list = []  # (chunk, vchunk, rel) since last flush
+        self._window_start = None  # absolute gid of the window's 1st genome
+        self._cur_gid = None     # open genome id
+        self._genomes_since_compress = 0
         self._n_max = 0          # max per-shard count (host mirror)
         self._sd_max = 0         # max per-shard small classes
         self._dd_max = 0         # max per-shard dense classes
         self._small_full_max = 0  # max per-shard size-S small classes
-        self._singletons = None  # per-shard class id of {current genome}
         self.total_dropped = 0
         self._fn_cache: dict = {}
         self.use_pallas = jax.default_backend() == "tpu"
@@ -555,138 +576,216 @@ class ShardedCDBG:
         if width > self.rows.shape[2]:
             self.rows = self._pad_axis(self.rows, width, 2, 0)
 
-    # -- insertion -------------------------------------------------------
+    # -- insertion (multi-genome window flush, models/table.py) ----------
     def start_genome(self, name: str) -> int:
+        """Open a genome — pure host bookkeeping (the window flush removed
+        all per-genome device work; reference per-genome loop
+        src/file_io.c:89).  Flushes first if the pending window would
+        exceed ``config.genome_window`` genomes."""
         gid = len(self.genome_names)
+        if (self._window_start is not None
+                and gid - self._window_start >= self.config.genome_window):
+            self.flush()
         self.genome_names.append(name)
-        self._ensure_colors(1, 0)
-        fn = self._cached(
-            "singleton", (self.ids.shape,),
-            lambda: jax.shard_map(
-                _append_singletons, mesh=self.mesh, check_vma=False,
-                in_specs=(P(AXIS), P(AXIS), P()),
-                out_specs=(P(AXIS), P(AXIS), P(AXIS))))
-        self.ids, self.sd, singles = fn(
-            self.ids, self.sd, jnp.asarray(gid, dtype=jnp.int32))
-        self._singletons = singles
-        self._sd_max += 1
+        self._ensure_colors(0, 0)
+        self._cur_gid = gid
         return gid
 
-    def _ensure_runs(self, bsz: int):
+    def _ensure_buf(self, bsz: int):
         n = self.n_shards
         per_dev = bsz // n
         route_cap = min(per_dev, max(
             int(math.ceil(per_dev / n * self.capacity_factor)), 32))
-        if self._route_cap == route_cap and self.run_keys is not None:
+        if self._route_cap == route_cap and self.buf_keys is not None:
             return
+        self.flush()   # pending rows live in the old layout
         self._route_cap = route_cap
-        r = self.config.pending_runs
-        m_loc = n * route_cap
+        bufcap = self.config.pending_runs * n * route_cap
         w = self.config.words
-        self.run_keys = self._shardit(
-            np.full((n, r, m_loc, w), 0xFFFFFFFF, np.uint32))
-        self.run_valid = self._shardit(np.zeros((n, r, m_loc), bool))
-        self.run_used = self._shardit(np.zeros((n,), np.int32))
+        self.buf_keys = self._shardit(
+            np.full((n, bufcap, w), 0xFFFFFFFF, np.uint32))
+        self.buf_gid = self._shardit(np.zeros((n, bufcap), np.int32))
+        self.buf_valid = self._shardit(np.zeros((n, bufcap), bool))
+        self._buf_used = 0
 
-    def insert_kmers_packed(self, packed: np.ndarray, valid=None):
+    def insert_kmers_packed(self, packed: np.ndarray, valid=None,
+                            row_gid=None):
         """Buffer-and-route batches; all insert work happens at flush.
 
-        No host<->device round trip per batch: routing overflow is counted
-        on device and handled at flush by an idempotent re-insert.
+        ``row_gid`` (optional int[M]): ABSOLUTE genome id per row for bulk
+        multi-genome ingest (ids must already be registered and lie within
+        one genome window); default = the current genome.  No host<->device
+        round trip per batch: routing overflow is counted on device and
+        healed at flush by an idempotent re-insert.
         """
-        if self._singletons is None:
+        if self._cur_gid is None:
             raise RuntimeError("call start_genome() first")
         packed = np.asarray(packed, dtype=np.uint32)
         if valid is None:
             valid = np.ones(packed.shape[0], dtype=bool)
+        gabs = (np.full(packed.shape[0], self._cur_gid, np.int32)
+                if row_gid is None else np.asarray(row_gid, np.int32))
         n = self.n_shards
         bsz = self.config.batch_size  # global batch (split over devices)
         bsz = max(n, (bsz // n) * n)
         for off in range(0, packed.shape[0], bsz):
             chunk = packed[off: off + bsz]
             vchunk = valid[off: off + bsz]
+            gchunk = gabs[off: off + bsz]
             if chunk.shape[0] < bsz:
                 pad = bsz - chunk.shape[0]
                 chunk = np.pad(chunk, ((0, pad), (0, 0)))
                 vchunk = np.pad(vchunk, (0, pad))
-            self._buffer_chunk(chunk, vchunk)
+                gchunk = np.pad(gchunk, (0, pad),
+                                constant_values=self._cur_gid)
+            self._buffer_chunk(chunk, vchunk, gchunk)
 
-    def _buffer_chunk(self, chunk: np.ndarray, vchunk: np.ndarray):
-        self._ensure_runs(chunk.shape[0])
-        if self._pending_used >= self.config.pending_runs:
+    def insert_genomes_bulk(self, names: list[str], packed, row_gid,
+                            valid=None):
+        """Register ``names`` and route ALL their rows (one window's worth
+        of genomes per call) — the sharded mirror of
+        ColoredDBG.insert_genomes_bulk.  ``row_gid`` indexes into ``names``.
+        """
+        if len(names) > self.config.genome_window:
+            raise ValueError("insert_genomes_bulk: more names than "
+                             "genome_window; split the call")
+        base = len(self.genome_names)
+        if (self._window_start is not None
+                and base + len(names) - self._window_start
+                > self.config.genome_window):
             self.flush()
+        self.genome_names.extend(names)
+        self._ensure_colors(0, 0)
+        self._cur_gid = base + len(names) - 1
+        self.insert_kmers_packed(
+            packed, valid,
+            row_gid=np.asarray(row_gid, np.int64) + base)
+        self._genomes_since_compress += len(names)
+
+    def _buffer_chunk(self, chunk: np.ndarray, vchunk: np.ndarray,
+                      gchunk: np.ndarray):
+        """Route one global chunk with ABSOLUTE per-row genome ids; the
+        window-relative ids are computed here (after any forced flush, so
+        a restarted window gets fresh relative ids)."""
+        self._ensure_buf(chunk.shape[0])
+        if (self._buf_used + self.n_shards * self._route_cap
+                > self.buf_keys.shape[1]):
+            self.flush()
+            # a retry inside that flush may have doubled the route capacity
+            # and rebuilt the buffer — re-evaluate the layout before using it
+            self._ensure_buf(chunk.shape[0])
+        rows = self.n_shards * self._route_cap
+        if self._window_start is None:
+            valid_g = gchunk[vchunk] if vchunk.any() else gchunk
+            self._window_start = int(valid_g.min()) if len(valid_g) else \
+                self._cur_gid
+        rel = (gchunk - self._window_start).astype(np.int32)
+        live_rel = rel[vchunk]
+        if len(live_rel) and (int(live_rel.min()) < 0
+                              or int(live_rel.max())
+                              >= self.config.genome_window):
+            # this chunk's genomes don't fit the open window (out-of-order
+            # gid stream, e.g. an index-merge replay): force a window
+            # boundary and restart at this chunk's minimum — always safe,
+            # the flush machinery tolerates replayed windows.
+            live_g = gchunk[vchunk]
+            if int(live_g.max()) - int(live_g.min()) \
+                    >= self.config.genome_window:
+                raise ValueError(
+                    "one chunk spans >= genome_window genomes; split the "
+                    "batch or raise genome_window")
+            self.flush()
+            self._ensure_buf(chunk.shape[0])
+            self._window_start = int(live_g.min())
+            rel = (gchunk - self._window_start).astype(np.int32)
         fn = self._cached(
-            "route", (self.run_keys.shape, chunk.shape, self._route_cap),
+            "route", (self.buf_keys.shape, chunk.shape, self._route_cap),
             lambda: jax.shard_map(
                 functools.partial(
                     _route_buffer_body, shard_bits=self.config.shard_bits,
                     capacity=self._route_cap),
                 mesh=self.mesh, check_vma=False,
-                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS)),
+                in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
+                          P(AXIS), P(AXIS), P()),
                 out_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS))))
-        self.run_keys, self.run_valid, self.run_used, self.drop_acc = fn(
-            self.run_keys, self.run_valid, self.run_used, self.drop_acc,
-            jnp.asarray(chunk), jnp.asarray(vchunk))
-        self._pending_used += 1
-        self._since_flush.append((chunk, vchunk))
+        self.buf_keys, self.buf_gid, self.buf_valid, self.drop_acc = fn(
+            self.buf_keys, self.buf_gid, self.buf_valid, self.drop_acc,
+            jnp.asarray(chunk), jnp.asarray(vchunk), jnp.asarray(rel),
+            jnp.asarray(self._buf_used, jnp.int32))
+        self._buf_used += rows
+        self._since_flush.append((chunk, vchunk, gchunk))
 
     def flush(self, _depth: int = 0):
-        """Flush run buffers into the shard tables (read barrier).
+        """Flush window buffers into the shard tables (read barrier).
 
-        One shard_mapped ``flush_genome`` per genome; the single host sync of
-        the insert path.  If the all_to_all capacity overflowed since the
-        last flush, the inserted state is healed by re-inserting the saved
-        chunks at doubled ``capacity_factor`` (idempotent: set semantics +
-        the same-genome color no-op, reference src/retrieveAnnotation.c:278).
+        Two shard_mapped stages with one host sync between (the sharded
+        mirror of models/cdbg.py flush): stage A counts the EXACT distinct
+        (class, mask) pairs and new keys per shard (pmax-replicated), the
+        host sizes capacities and the per-class budget, stage B builds the
+        child classes and merges.  All_to_all overflow since the last flush
+        is healed by re-inserting the saved chunks at doubled
+        ``capacity_factor`` (idempotent: set semantics + the per-genome
+        color no-op, reference src/retrieveAnnotation.c:278).
         """
-        if not self._pending_used or self.run_keys is None:
+        if not self._buf_used or self.buf_keys is None:
             return
-        r, m_loc = self.run_keys.shape[1], self.run_keys.shape[2]
-        self._ensure_capacity(r * m_loc)
-        # Hybrid color contract (models/table.py flush_genome_impl): every
-        # small class can spawn a small child, every dense class a dense
-        # child, every size-S small class can overflow into dense.
-        self._ensure_colors(self._sd_max + 1,
-                            self._dd_max + self._small_full_max)
-        gid = len(self.genome_names) - 1
+        window = self.config.genome_window
+        g0 = self._window_start if self._window_start is not None else 0
         seeds = jnp.asarray(
             [self.config.bloom_seed1, self.config.bloom_seed2],
             dtype=jnp.uint32)
-        # Per-shard distinct-class bound for the color update's compaction
-        # (see models/table.py _color_update affected_budget).
-        budget = max(2048, _next_pow2(min(r * m_loc,
-                                          self._sd_max + self._dd_max)))
-        fn = self._cached(
-            "flush", (self.keys.shape, self.ids.shape, self.rows.shape,
-                      self.run_keys.shape, self._pallas_eligible(), budget),
+        a_keys = ("skeys", "cls2", "mask2", "keep2", "found2", "idx2",
+                  "src2")
+        a_fn = self._cached(
+            "flush_a", (self.keys.shape, self.buf_keys.shape,
+                        self._pallas_eligible()),
             lambda: jax.shard_map(
                 functools.partial(
-                    _flush_body, log2_bloom=self.config.bloom_log2_bits,
-                    use_pallas=self._pallas_eligible(),
-                    use_bloom=self.config.bloom_enabled,
-                    affected_budget=budget),
+                    _flush_a_body, window=window,
+                    use_pallas=self._pallas_eligible()),
                 mesh=self.mesh, check_vma=False,
-                in_specs=(P(AXIS),) * 14 + (P(), P(AXIS), P()),
-                out_specs=((P(AXIS),) * 13 + (P(AXIS), P(), P()))))
+                in_specs=(P(AXIS),) * 8 + (P(),),
+                out_specs={**{k_: P(AXIS) for k_ in a_keys},
+                           "n_pairs_max": P(), "n_new_max": P()}))
+        a_out = a_fn(self.keys, self.color_ref, self.flags, self.n,
+                     self.starts, self.buf_keys, self.buf_gid,
+                     self.buf_valid, jnp.asarray(self._buf_used, jnp.int32))
+        n_pairs = int(jax.device_get(a_out["n_pairs_max"]))
+        n_new = int(jax.device_get(a_out["n_new_max"]))
+        self._ensure_capacity(n_new)
+        self._ensure_colors(n_pairs, n_pairs)
+        budget = max(1024, _next_pow2(max(n_pairs, 1)))
+        b_fn = self._cached(
+            "flush_b", (self.keys.shape, self.ids.shape, self.rows.shape,
+                        self.buf_keys.shape, budget),
+            lambda: jax.shard_map(
+                functools.partial(
+                    _flush_b_body, log2_bloom=self.config.bloom_log2_bits,
+                    budget=budget, window=window,
+                    use_bloom=self.config.bloom_enabled),
+                mesh=self.mesh, check_vma=False,
+                in_specs=(P(AXIS),) * 10 + (P(AXIS),) * 7
+                + (P(AXIS), P(), P()),
+                out_specs=((P(AXIS),) * 10 + (P(AXIS), P(), P()))))
         (self.keys, self.color_ref, self.flags, self.n, self.starts,
-         self.ids, self.sd, self.rows, self.dd, self.bloom, self.run_keys,
-         self.run_valid, self.run_used, self.drop_acc, totals,
-         per_shard) = fn(
+         self.ids, self.sd, self.rows, self.dd, self.bloom, self.drop_acc,
+         totals, per_shard) = b_fn(
             self.keys, self.color_ref, self.flags, self.n, self.starts,
             self.ids, self.sd, self.rows, self.dd, self.bloom,
-            self.run_keys, self.run_valid, self.run_used, self.drop_acc,
-            jnp.asarray(gid, dtype=jnp.int32), self._singletons, seeds)
-        self._pending_used = 0
+            *(a_out[k_] for k_ in a_keys),
+            self.drop_acc, jnp.asarray(g0, jnp.int32), seeds)
+        self._buf_used = 0
+        self._window_start = None
         t = jax.device_get(totals)
         ps = jax.device_get(per_shard)
         self._n_max = self._reduced(self.n, "max")
         self._sd_max = self._reduced(self.sd, "max")
         self._dd_max = self._reduced(self.dd, "max")
         self._small_full_max = int(ps["small_full"])
-        if int(ps["n_classes_seen"]) > budget:
+        if int(ps["colored_pairs"]) > n_pairs:
             raise RuntimeError(
-                "affected-class budget violated on a shard "
-                f"({int(ps['n_classes_seen'])} > {budget})")
+                "window-flush contract violated on a shard "
+                f"({int(ps['colored_pairs'])} new classes > {n_pairs} pairs)")
         dropped = int(np.asarray(t["dropped"]).max())
         retry = self._since_flush
         self._since_flush = []
@@ -698,14 +797,21 @@ class ShardedCDBG:
             self.total_dropped += dropped  # telemetry; retry makes it whole
             self.capacity_factor = min(self.capacity_factor * 2,
                                        float(self.n_shards))
-            self._route_cap = None  # force run-buffer rebuild
-            for chunk, vchunk in retry:
-                self._buffer_chunk(chunk, vchunk)
+            self._route_cap = None  # force buffer rebuild
+            for chunk, vchunk, gchunk in retry:
+                self._buffer_chunk(chunk, vchunk, gchunk)
             self.flush(_depth + 1)
+            return
+        if (self.config.treshold_compression > 0 and
+                self._genomes_since_compress
+                >= self.config.treshold_compression):
+            self.compress_colors()
 
     def end_genome(self):
-        self.flush()
-        self._singletons = None
+        """Close the current genome (host bookkeeping; dictionary
+        compression defers to the next flush, as in models/cdbg.py)."""
+        self._cur_gid = None
+        self._genomes_since_compress += 1
 
     def insert_genome(self, name, packed, valid=None):
         self.start_genome(name)
@@ -729,6 +835,7 @@ class ShardedCDBG:
         self._sd_max = self._reduced(self.sd, "max")
         self._dd_max = self._reduced(self.dd, "max")
         self._small_full_max = int(jax.device_get(small_full))
+        self._genomes_since_compress = 0
 
     # -- queries ---------------------------------------------------------
     def query_kmers_packed(self, packed, valid=None):

@@ -76,9 +76,12 @@ def section_config5():
                               for c in range(n_clusters)])
 
     @jax.jit
-    def gen_chunk(base):
+    def gen_chunk(base, core_keys, cluster_keys):
         # gb genomes starting at absolute id ``base`` (base % 16 == 0, so the
-        # cluster assignment pattern is identical across chunks -> 1 compile)
+        # cluster assignment pattern is identical across chunks -> 1 compile).
+        # core/cluster arrays are ARGUMENTS: closing over device arrays embeds
+        # them as executable constants (a 40 MB binary shipped through the
+        # ~1 MB/s tunnel on every load).
         parts = []
         root = jax.random.PRNGKey(10_000)
         for g in range(gb):
@@ -94,7 +97,8 @@ def section_config5():
 
     t0 = time.monotonic()
     for base in range(0, n_genomes, gb):
-        batch = gen_chunk(jnp.asarray(base, jnp.int32))
+        batch = gen_chunk(jnp.asarray(base, jnp.int32),
+                          core_keys, cluster_keys)
         dbg.insert_genomes_bulk([f"g{g}" for g in range(base, base + gb)],
                                 batch, row_gid, valid_rows)
         if base % 160 == 0:

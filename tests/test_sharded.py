@@ -207,6 +207,7 @@ def test_sharded_overflow_retry():
     dbg.insert_genome("g0", packed, valid)
     oracle = OracleBFT(k)
     oracle.insert_genome("g0", kms)
+    dbg.flush()   # drops are detected and healed at flush time
     assert dbg.total_dropped > 0, "test must actually exercise the drop path"
     assert set(dbg.extract_kmer_strings()) == oracle.all_kmers()
 
