@@ -146,6 +146,37 @@ def main():
     dt_qt = time.perf_counter() - t0
     query_rate_transfer = m_q / dt_qt
 
+    # ---- sharded query on a 1-device mesh (VERDICT r3 #2 done-criterion:
+    # the shard_map query body must ride the same streaming Pallas rank
+    # kernel as the single-chip path; a size-1 TPU mesh exercises
+    # shard_map+Pallas on real hardware without more chips).  The built
+    # table is injected directly (same data, no second build). ----
+    from bloomfiltertrie_tpu.parallel.sharded import ShardedCDBG, make_mesh
+    sh = ShardedCDBG(cfg, mesh=make_mesh(1))
+    sh.keys = dbg.table.keys[None]
+    sh.color_ref = dbg.table.color_ref[None]
+    sh.flags = dbg.table.flags[None]
+    sh.n = dbg.table.n[None]
+    sh.starts = dbg.table.bucket_starts[None]
+    sh.ids = dbg.colors.ids[None]
+    sh.sd = dbg.colors.sd[None]
+    sh.rows = dbg.colors.rows[None]
+    sh.dd = dbg.colors.dd[None]
+    sh.genome_names = list(dbg.genome_names)
+    sh._n_max, sh._sd_max, sh._dd_max = dbg._n, dbg._sd, dbg._dd
+    def sharded_query():
+        found, bitmap = sh.query_kmers_device(queries)
+        return (jnp.sum(found.astype(jnp.int32))
+                + jnp.sum(bitmap[:, 0]).astype(jnp.int32))
+    n_sh_found = int(jax.device_get(sharded_query()))  # compile + warm
+    assert n_sh_found == n_found_sync
+    dts_sq = []
+    for _ in range(3):
+        t0 = time.perf_counter()
+        jax.device_get(sharded_query())
+        dts_sq.append(time.perf_counter() - t0)
+    sharded_query_rate = m_q / min(dts_sq)
+
     # ---- host parser throughput (FASTA bytes -> packed k-mers; native
     # C++ rolling encoder, chip not involved) ----
     import numpy as np
@@ -197,6 +228,7 @@ def main():
         "raw_insert_s": [round(d, 3) for d in dts],
         "query_kmers_per_s": round(query_rate),
         "query_kmers_per_s_with_host_transfer": round(query_rate_transfer),
+        "sharded_n1_query_kmers_per_s": round(sharded_query_rate),
         "parser_mb_per_s": round(parser_mb_s, 1),
         "parser_kmers_per_s": round(parser_kmers_s),
         "parser_threads": n_thr,

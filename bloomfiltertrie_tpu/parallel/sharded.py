@@ -838,11 +838,17 @@ class ShardedCDBG:
         self._genomes_since_compress = 0
 
     # -- queries ---------------------------------------------------------
-    def query_kmers_packed(self, packed, valid=None):
+    def query_kmers_device(self, packed, valid=None):
+        """Device-resident sharded query: (found bool[M], bitmap [M, cw]) as
+        replicated jax arrays WITHOUT host transfer — the production path
+        when results feed further device work (mirrors
+        ColoredDBG.query_kmers_device)."""
         self.flush()
-        packed = np.asarray(packed, dtype=np.uint32)
+        packed = jnp.asarray(packed, dtype=jnp.uint32)
         if valid is None:
-            valid = np.ones(packed.shape[0], dtype=bool)
+            valid = jnp.ones(packed.shape[0], dtype=bool)
+        else:
+            valid = jnp.asarray(valid, dtype=bool)
         fn = self._cached(
             "query", (self.keys.shape, self.ids.shape, self.rows.shape,
                       packed.shape, self._pallas_eligible()),
@@ -853,9 +859,11 @@ class ShardedCDBG:
                 in_specs=(P(AXIS), P(AXIS), P(AXIS), P(AXIS), P(AXIS),
                           P(AXIS), P(AXIS), P(AXIS), P(), P()),
                 out_specs=(P(), P())))
-        found, bitmap = fn(self.keys, self.color_ref, self.ids, self.sd,
-                           self.rows, self.dd, self.n, self.starts,
-                           jnp.asarray(packed), jnp.asarray(valid))
+        return fn(self.keys, self.color_ref, self.ids, self.sd,
+                  self.rows, self.dd, self.n, self.starts, packed, valid)
+
+    def query_kmers_packed(self, packed, valid=None):
+        found, bitmap = self.query_kmers_device(packed, valid)
         return np.asarray(found), np.asarray(bitmap)
 
     def contains(self, kmer: str) -> bool:
