@@ -21,8 +21,9 @@ Method notes:
     reliable fence through the remote tunnel).
   * Two genomes so both paths run: new-key merge and color-class update.
     The timed region includes the FULL amortized cost: per-batch buffering,
-    the per-genome flush (sort, probe, color update, merge, Bloom, prefix
-    index) and the per-genome color compression — nothing deferred.
+    the multi-genome window flush (dedup sort, genome-mask scan, probe,
+    per-(class,mask) color update, merge, prefix index) and the color
+    compression — nothing deferred past the closing flush().
   * Persistent compilation cache: first-ever run pays ~3-4 min of XLA
     compiles; the cache (committed under .jax_cache) makes reruns ~40 s.
 """
@@ -66,6 +67,9 @@ def main():
         # costs ~170 ms/flush (scripts/profile_flush: 864 -> 692 ms).  The
         # recommended TPU config drops it; queries are exact either way.
         bloom_enabled=False,
+        # 2 genomes per window: 32 mask bits suffice — the default 256-bit
+        # window would pay 8 mask words of scan/sort for nothing here
+        genome_window=32,
     )
 
     gen = jax.jit(
@@ -202,7 +206,7 @@ def main():
     # the native encoder releases the GIL, so speedup tracks core count)
     import os
     n_thr = max(os.cpu_count() or 1, 1)
-    tstream = kmer_io.FastxStream(fa_path, k, chunk_bytes=1 << 21,
+    tstream = kmer_io.FastxStream(fa_path, k, chunk_bytes=1 << 22,
                                   threads=n_thr)
     sum(1 for _ in tstream.batches())   # warm
     t0 = time.perf_counter()

@@ -1124,6 +1124,9 @@ class ShardedCDBG:
         """Call ``fn(kmer_str, BFTAnnotation, flag)`` for every k-mer
         (reference iterate_over_kmers bft.c:1051; sharded parity).
 
+        Early-termination contract as the single-chip variant (reference
+        doc block src/bft.c:1051): a non-None FALSY return stops the walk.
+
         Host-side per-k-mer callback loop — parity, not a device-scale
         path; use the batched exports for big tables."""
         from bloomfiltertrie_tpu.models import colors_codec
@@ -1148,8 +1151,10 @@ class ShardedCDBG:
             bm[small] = colors_codec.ids_rows_to_bitmaps(
                 ids[s][cr[small]], cw)
             for i, st in enumerate(strs):
-                fn(st, BFTAnnotation(bm[i], self.nb_genomes),
-                   int(flags[s, i]))
+                r = fn(st, BFTAnnotation(bm[i], self.nb_genomes),
+                       int(flags[s, i]))
+                if r is not None and not r:
+                    return
 
     def prefix_matching(self, prefix: str, with_annotations: bool = False):
         """Packed k-mers with the given prefix (reference bft.c:1096).

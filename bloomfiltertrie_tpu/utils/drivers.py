@@ -47,7 +47,8 @@ def insert_genomes_from_kmer_files(dbg: ColoredDBG, paths: list[str],
 
 
 def insert_genomes_from_fasta_files(dbg: ColoredDBG, paths: list[str],
-                                    verbose: bool = True):
+                                    verbose: bool = True,
+                                    parser_threads: int = 1):
     """FASTA/FASTQ genome ingest (one genome per file), streamed.
 
     The reference's FASTx path is present but commented out
@@ -57,14 +58,17 @@ def insert_genomes_from_fasta_files(dbg: ColoredDBG, paths: list[str],
     — host memory O(chunk), never the whole file), non-ACGT windows are
     skipped (the IUPAC-reject rule, src/fasta.c:3-53), and batches flow
     straight into the buffered insert path.  Uses the native C++ parser
-    when built (bloomfiltertrie_tpu/native/parser.cpp).
+    when built (bloomfiltertrie_tpu/native/parser.cpp);
+    ``parser_threads > 1`` fans the 2-bit encode across cores (the pod
+    ingest math needs ~50 MB/s sustained parse per host).
     """
     t_start = time.monotonic()
     for path in paths:
         t0 = time.monotonic()
         dbg.start_genome(os.path.basename(path))
         n_kmers = 0
-        for packed, valid in kmer_io.FastxStream(path, dbg.k).batches():
+        stream = kmer_io.FastxStream(path, dbg.k, threads=parser_threads)
+        for packed, valid in stream.batches():
             dbg.insert_kmers_packed(packed, valid)
             n_kmers += int(valid.sum())
         dbg.end_genome()
