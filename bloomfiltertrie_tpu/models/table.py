@@ -830,14 +830,20 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
     sh = (g0 & 31).astype(jnp.uint32)
 
     # ---- compact distinct (class, mask) pairs into [a] ----
+    # ONE T-sized scatter (head positions); every per-pair column then
+    # arrives via an a-sized gather — T-sized scatters are latency-bound
+    # (~0.5-1 GB/s), so collapsing 1+mw of them to 1 is a direct win
+    # (scripts/profile_window_flush.py).
     run2 = jnp.cumsum(keep2.astype(jnp.int32)) - 1
     dest = jnp.where(keep2, run2, a)
-    u_cls = jnp.full((a,), INT32_MAX, dtype=jnp.int32).at[dest].set(
-        cls2, mode="drop")
-    u_mask = []
-    for j in range(mw):
-        u_mask.append(jnp.zeros((a,), dtype=jnp.uint32).at[dest].set(
-            mask2[:, j], mode="drop"))
+    pos2 = jnp.arange(t_rows, dtype=jnp.int32)
+    hpos = jnp.full((a,), t_rows - 1, dtype=jnp.int32).at[dest].set(
+        pos2, mode="drop")
+    u_live_row = jnp.arange(a, dtype=jnp.int32) < jnp.sum(
+        keep2.astype(jnp.int32))
+    u_cls = jnp.where(u_live_row, cls2[hpos], INT32_MAX)
+    u_mask = [jnp.where(u_live_row, mask2[hpos, j], jnp.uint32(0))
+              for j in range(mw)]
 
     live_u = u_cls != INT32_MAX
     parent_dense = live_u & (u_cls >= 0) & ((u_cls & DENSE_TAG) != 0)
@@ -952,22 +958,40 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
                   (colors.dd + r_dense) | DENSE_TAG),
         u_cls)
 
-    # ---- map group results back to sort-1 row order (sort by src2: a
-    # bandwidth-bound permutation sort instead of latency-bound scatters) ----
-    run_c = jnp.clip(run2, 0, a - 1)
-    per_row = new_id[run_c]
-    live2 = cls2 != INT32_MAX
-    changed2 = live2 & found2 & u_aff[run_c]
-    isnew2 = live2 & ~found2
-    out3 = jax.lax.sort(
-        (src2, per_row, changed2.astype(jnp.uint32),
-         isnew2.astype(jnp.uint32), idx2), num_keys=1)
-    per_row1, changed1, isnew1, idx1 = out3[1], out3[2] == 1, out3[3] == 1, \
-        out3[4]
+    # ---- apply group results ----
+    # Per-row group values WITHOUT a T-sized gather: scatter per-group
+    # DELTAS at the (few) head positions and cumsum — the telescoping sum
+    # reproduces each group's value on every row of its run (rows are
+    # sorted by group).  An a-sized scatter + a bandwidth-bound cumsum
+    # replaces a latency-bound 16M-row gather.
+    n_pairs_d = jnp.sum(keep2.astype(jnp.int32))
 
+    def bcast_groups(vals):
+        prev = jnp.concatenate([jnp.zeros((1,), vals.dtype), vals[:-1]])
+        delta = vals - prev
+        live_a = jnp.arange(a, dtype=jnp.int32) < n_pairs_d
+        d = jnp.zeros((t_rows,), vals.dtype).at[
+            jnp.where(live_a, hpos, t_rows)].add(delta, mode="drop")
+        return jnp.cumsum(d)
+
+    per_row = bcast_groups(new_id)
+    aff_row = bcast_groups(u_aff.astype(jnp.int32)) == 1
+    live2 = cls2 != INT32_MAX
+    changed2 = live2 & found2 & aff_row
+    isnew2 = live2 & ~found2
+    # FOUND rows: idx2 (the table row of each found head) is already in
+    # sort-2 order, so the color_ref rewrite scatters directly — no need to
+    # route ``changed``/``idx`` through the unsort.
     cref = table.color_ref.at[
-        jnp.where(changed1, idx1, table.capacity)].set(per_row1, mode="drop")
-    newcls1 = jnp.where(isnew1, per_row1, -1)
+        jnp.where(changed2, idx2, table.capacity)].set(per_row, mode="drop")
+
+    # NEW rows: their class id must align with skeys (sort-1 order) for the
+    # merge payload — one slim 2-payload permutation sort (bandwidth-bound;
+    # cheaper than a T-sized scatter by src2).
+    newcls2 = jnp.where(isnew2, per_row, -1)
+    out3 = jax.lax.sort((src2, newcls2), num_keys=1)
+    newcls1 = out3[1]
+    isnew1 = newcls1 >= 0
 
     merged_keys, merged_n, (merged_cref, merged_flags) = ss.merge_into_masked(
         table.keys, table.n, skeys, isnew1,

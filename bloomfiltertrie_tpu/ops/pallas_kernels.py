@@ -36,12 +36,25 @@ from jax.experimental.pallas import tpu as pltpu
 from bloomfiltertrie_tpu.ops import sortedset as ss
 
 TILE = 2048     # table rows per grid step (lane-dim friendly)
-QMAX = 256      # queries per chunk
+QMAX = 256      # default queries per chunk; see _pick_qmax
 FOUND_BIT = 30
 
 
+def _pick_qmax(cap: int, m: int) -> int:
+    """Queries per kernel chunk, adapted to query density.
+
+    Bigger chunks amortize the per-chunk DMA latency — at m ~ cap the
+    16Mx16M rank pass went ~155 -> ~5 ms moving 256 -> 1024 — but every
+    tile scans at least ONE chunk, so a large chunk over-scans sparse
+    batches (m << cap): clamp to the average per-tile query count.
+    """
+    per_tile = max(m * TILE // max(cap, 1), 1)
+    q = 1 << (per_tile - 1).bit_length()
+    return max(128, min(q, 1024))
+
+
 def _rank_kernel(qs_ref, tile_ref, q_hbm, out_hbm, qbuf, obuf, sem_q, sem_o,
-                 *, w: int):
+                 *, w: int, qmax: int):
     t = pl.program_id(0)
     start = qs_ref[t]
     end = qs_ref[t + 1]
@@ -49,19 +62,19 @@ def _rank_kernel(qs_ref, tile_ref, q_hbm, out_hbm, qbuf, obuf, sem_q, sem_o,
     # first window may cover queries of earlier tiles, so output writes are
     # read-modify-write with a [start, end) mask.  The sequential TPU grid
     # makes the RMW race-free.
-    c_start = (start // QMAX) * QMAX
-    nchunks = (end - c_start + QMAX - 1) // QMAX
+    c_start = (start // qmax) * qmax
+    nchunks = (end - c_start + qmax - 1) // qmax
 
     def chunk(c, carry):
-        off = c_start + c * QMAX
-        cp = pltpu.make_async_copy(q_hbm.at[:, pl.ds(off, QMAX)], qbuf, sem_q)
+        off = c_start + c * qmax
+        cp = pltpu.make_async_copy(q_hbm.at[:, pl.ds(off, qmax)], qbuf, sem_q)
         cp.start()
-        cp_o = pltpu.make_async_copy(out_hbm.at[:, pl.ds(off, QMAX)], obuf,
+        cp_o = pltpu.make_async_copy(out_hbm.at[:, pl.ds(off, qmax)], obuf,
                                      sem_o)
         cp_o.start()
         cp.wait()
-        lt = jnp.zeros((QMAX, TILE), dtype=jnp.bool_)
-        eq = jnp.ones((QMAX, TILE), dtype=jnp.bool_)
+        lt = jnp.zeros((qmax, TILE), dtype=jnp.bool_)
+        eq = jnp.ones((qmax, TILE), dtype=jnp.bool_)
         for i in range(w):
             trow = tile_ref[i, :][None, :]          # [1, TILE]
             qcol = qbuf[i, :][:, None]              # [QMAX, 1]
@@ -70,11 +83,11 @@ def _rank_kernel(qs_ref, tile_ref, q_hbm, out_hbm, qbuf, obuf, sem_q, sem_o,
         cnt = jnp.sum(lt.astype(jnp.int32), axis=1)           # rows < query
         found = jnp.any(eq, axis=1)
         packed = (t * TILE + cnt) | (found.astype(jnp.int32) << FOUND_BIT)
-        j = off + jax.lax.broadcasted_iota(jnp.int32, (1, QMAX), 1)
+        j = off + jax.lax.broadcasted_iota(jnp.int32, (1, qmax), 1)
         keep = (j >= start) & (j < end)
         cp_o.wait()
         obuf[:, :] = jnp.where(keep, packed[None, :], obuf[:, :])
-        cp2 = pltpu.make_async_copy(obuf, out_hbm.at[:, pl.ds(off, QMAX)],
+        cp2 = pltpu.make_async_copy(obuf, out_hbm.at[:, pl.ds(off, qmax)],
                                     sem_o)
         cp2.start()
         cp2.wait()
@@ -101,6 +114,7 @@ def rank_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
     cap, w = table_keys.shape
     m = queries.shape[0]
     n_tiles = cap // TILE
+    qmax = _pick_qmax(cap, m)
 
     # Query-side tile assignment: qs[t] = #queries with rank < t*TILE
     #                                   = #queries q <= table[t*TILE - 1].
@@ -111,7 +125,7 @@ def rank_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
         jnp.full((1,), m, jnp.int32)])
 
     q_pad = jnp.concatenate([
-        queries, jnp.full((QMAX, w), ss.SENTINEL, dtype=jnp.uint32)])
+        queries, jnp.full((qmax, w), ss.SENTINEL, dtype=jnp.uint32)])
     q_t = q_pad.T                      # [W, M+QMAX]
     table_t = table_keys.T             # [W, cap]
 
@@ -124,16 +138,16 @@ def rank_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((w, QMAX), jnp.uint32),
-            pltpu.VMEM((1, QMAX), jnp.int32),
+            pltpu.VMEM((w, qmax), jnp.uint32),
+            pltpu.VMEM((1, qmax), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_rank_kernel, w=w),
+        functools.partial(_rank_kernel, w=w, qmax=qmax),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, m + QMAX), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, m + qmax), jnp.int32),
         interpret=interpret,
     )(qs, table_t, q_t)
 

@@ -94,14 +94,16 @@ def insert_genomes(dbg: ColoredDBG, paths: list[str], fmt: str,
 
 
 def insert_genomes_pipelined(dbg: ColoredDBG, paths: list[str], fmt: str,
-                             verbose: bool = True):
+                             verbose: bool = True, parser_threads: int = 1):
     """Pipelined ingest: host parses file i+1 while the device digests file i.
 
     The PP row of SURVEY §2's parallelism table: JAX dispatch is async, so
     ``insert_kmers_packed`` (buffer appends) returns immediately and the
-    per-genome flush overlaps the next file's host-side parse, which runs in
-    a prefetch thread.  Observable results are identical to the sequential
-    drivers (same insertion order).
+    window flush overlaps the next file's host-side parse, which runs in a
+    prefetch thread; ``parser_threads > 1`` additionally fans the 2-bit
+    encode across cores inside the parse stage (kmer_io.FastxStream).
+    Observable results are identical to the sequential drivers (same
+    insertion order).
     """
     import concurrent.futures as cf
 
@@ -109,7 +111,8 @@ def insert_genomes_pipelined(dbg: ColoredDBG, paths: list[str], fmt: str,
 
     def parse(path):
         if fmt == "fastx":
-            return kmer_io.read_fasta_file(path, dbg.k)
+            return kmer_io.read_fasta_file(path, dbg.k,
+                                           threads=parser_threads)
         return kmer_io.read_kmer_file(path, dbg.k, fmt == "kmers_comp")
 
     timer = PhaseTimer()
