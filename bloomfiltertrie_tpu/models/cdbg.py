@@ -403,7 +403,7 @@ class ColoredDBG:
         self.table, self.colors, self.bloom, stats = tbl.flush_stage_b(
             self.table, self.colors, self.bloom,
             a_out["skeys"], a_out["cls2"], a_out["mask2"], a_out["keep2"],
-            a_out["found2"], a_out["idx2"], a_out["src2"],
+            a_out["fidx2"], a_out["src2"],
             jnp.asarray(g0, jnp.int32),
             cfg.bloom_log2_bits,
             jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),

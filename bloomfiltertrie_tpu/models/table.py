@@ -740,23 +740,23 @@ def flush_stage_a_impl(table: KmerTable, buf: PendingBuffer,
     t_rows, w = buf.keys.shape
     mw = window // 32
 
-    # Sort 1: by (invalid, key words..., gid).  Invalid rows mask to sentinel
-    # and sort last; the leading ``inv`` key keeps a genuine all-T key (which
-    # equals the sentinel when k == 16*W) out of the dead run.
+    # Sort 1: by (key words..., gid).  Invalid rows mask to sentinel keys
+    # AND gid = window, so they sort after every valid row — including a
+    # genuine all-T key (sentinel bit pattern when k == 16*W), whose gid is
+    # < window; validity is recovered from the gid column, saving a whole
+    # sort operand.
     live = buf.valid & (jnp.arange(t_rows, dtype=jnp.int32) < used)
-    inv = (~live).astype(jnp.uint32)
     masked = jnp.where(live[:, None], buf.keys,
                        jnp.full_like(buf.keys, ss.SENTINEL))
     gid_m = jnp.where(live, buf.gid, window)
-    out = jax.lax.sort((inv,) + tuple(masked[:, i] for i in range(w))
-                       + (gid_m,), num_keys=w + 2)
-    inv_s = out[0]
-    skeys = jnp.stack(out[1:1 + w], axis=-1)
-    sgid = out[1 + w]
-    svalid = inv_s == 0
+    out = jax.lax.sort(tuple(masked[:, i] for i in range(w)) + (gid_m,),
+                       num_keys=w + 1)
+    skeys = jnp.stack(out[:w], axis=-1)
+    sgid = out[w]
+    svalid = sgid < window
     key_bound = jnp.concatenate([
         jnp.ones((1,), dtype=bool),
-        (~ss.mw_equal(skeys[1:], skeys[:-1])) | (inv_s[1:] != inv_s[:-1])])
+        ~ss.mw_equal(skeys[1:], skeys[:-1])])
     keep_key = key_bound & svalid                     # head of each key run
     pair_bound = jnp.concatenate([
         jnp.ones((1,), dtype=bool),
@@ -776,20 +776,20 @@ def flush_stage_a_impl(table: KmerTable, buf: PendingBuffer,
     found = found & keep_key
 
     # Group key of each head row: (existing class | -1 if new, mask).
-    # Non-head/invalid rows get class INT32_MAX and sort last.
+    # Non-head/invalid rows get class INT32_MAX and sort last.  ``found``
+    # rides in the top bit of the idx payload (table rows < 2^31) — one
+    # fewer 4B sort operand.
     cls = jnp.where(keep_key,
                     jnp.where(found, table.color_ref[idx], -1),
                     INT32_MAX)
     mask_h = tuple(jnp.where(keep_key, mj, jnp.uint32(0)) for mj in masks)
+    fidx = idx.astype(jnp.uint32) | (found.astype(jnp.uint32) << 31)
     pos1 = jnp.arange(t_rows, dtype=jnp.int32)
-    out2 = jax.lax.sort(
-        (cls,) + mask_h + (found.astype(jnp.uint32), idx, pos1),
-        num_keys=1 + mw)
+    out2 = jax.lax.sort((cls,) + mask_h + (fidx, pos1), num_keys=1 + mw)
     cls2 = out2[0]
     mask2 = jnp.stack(out2[1:1 + mw], axis=-1)
-    found2 = out2[1 + mw] == 1
-    idx2 = out2[2 + mw]
-    src2 = out2[3 + mw]
+    fidx2 = out2[1 + mw]
+    src2 = out2[2 + mw]
     pair_neq = jnp.concatenate([
         jnp.ones((1,), dtype=bool),
         (cls2[1:] != cls2[:-1]) | jnp.any(mask2[1:] != mask2[:-1], axis=-1)])
@@ -797,7 +797,7 @@ def flush_stage_a_impl(table: KmerTable, buf: PendingBuffer,
     n_pairs = jnp.sum(keep2.astype(jnp.int32))
     n_new = jnp.sum((keep_key & ~found).astype(jnp.int32))
     return {"skeys": skeys, "cls2": cls2, "mask2": mask2, "keep2": keep2,
-            "found2": found2, "idx2": idx2, "src2": src2,
+            "fidx2": fidx2, "src2": src2,
             "n_pairs": n_pairs, "n_new": n_new}
 
 
@@ -808,7 +808,7 @@ flush_stage_a = functools.partial(
 
 def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
                        bloom_bits: jnp.ndarray,
-                       skeys, cls2, mask2, keep2, found2, idx2, src2,
+                       skeys, cls2, mask2, keep2, fidx2, src2,
                        g0: jnp.ndarray, log2_bloom: int, seed1, seed2,
                        budget: int, window: int, use_bloom: bool = True):
     """Stage B of the window flush: per-pair class construction (at budget
@@ -828,6 +828,8 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
     g0 = jnp.asarray(g0, dtype=jnp.int32)
     w0 = g0 >> 5
     sh = (g0 & 31).astype(jnp.uint32)
+    found2 = (fidx2 >> 31) == 1
+    idx2 = (fidx2 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
     # ---- compact distinct (class, mask) pairs into [a] ----
     # ONE T-sized scatter (head positions); every per-pair column then

@@ -145,7 +145,7 @@ def _flush_a_body(keys, cref, flags, n, starts, buf_keys, buf_gid, buf_valid,
 
 
 def _flush_b_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
-                  skeys, cls2, mask2, keep2, found2, idx2, src2,
+                  skeys, cls2, mask2, keep2, fidx2, src2,
                   drop_acc, g0, seeds, *, log2_bloom: int, budget: int,
                   window: int, use_bloom: bool):
     table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
@@ -153,7 +153,7 @@ def _flush_b_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
     colors = tbl.ColorStore(ids=ids[0], rows=rows[0], sd=sd[0], dd=dd[0])
     table, colors, bloom, stats = tbl.flush_stage_b_impl(
         table, colors, bloom_bits[0],
-        skeys[0], cls2[0], mask2[0], keep2[0], found2[0], idx2[0], src2[0],
+        skeys[0], cls2[0], mask2[0], keep2[0], fidx2[0], src2[0],
         g0, log2_bloom, seeds[0], seeds[1],
         budget=budget, window=window, use_bloom=use_bloom)
     totals = {
@@ -734,8 +734,7 @@ class ShardedCDBG:
         seeds = jnp.asarray(
             [self.config.bloom_seed1, self.config.bloom_seed2],
             dtype=jnp.uint32)
-        a_keys = ("skeys", "cls2", "mask2", "keep2", "found2", "idx2",
-                  "src2")
+        a_keys = ("skeys", "cls2", "mask2", "keep2", "fidx2", "src2")
         a_fn = self._cached(
             "flush_a", (self.keys.shape, self.buf_keys.shape,
                         self._pallas_eligible()),
@@ -764,7 +763,7 @@ class ShardedCDBG:
                     budget=budget, window=window,
                     use_bloom=self.config.bloom_enabled),
                 mesh=self.mesh, check_vma=False,
-                in_specs=(P(AXIS),) * 10 + (P(AXIS),) * 7
+                in_specs=(P(AXIS),) * 10 + (P(AXIS),) * 6
                 + (P(AXIS), P(), P()),
                 out_specs=((P(AXIS),) * 10 + (P(AXIS), P(), P()))))
         (self.keys, self.color_ref, self.flags, self.n, self.starts,

@@ -141,10 +141,10 @@ def main():
     budget = max(1024, 1 << (max(n_pairs - 1, 1)).bit_length())
     log(f"  n_pairs={n_pairs} budget={budget}")
 
-    def p_full_b(tb, cl, skeys, cls2, mask2, keep2, found2, idx2, src2):
+    def p_full_b(tb, cl, skeys, cls2, mask2, keep2, fidx2, src2):
         return tbl.flush_stage_b_impl(
             tb, cl, jnp.zeros((1 << 19,), jnp.uint32),
-            skeys, cls2, mask2, keep2, found2, idx2, src2,
+            skeys, cls2, mask2, keep2, fidx2, src2,
             jnp.asarray(0, jnp.int32), 24,
             jnp.uint32(1), jnp.uint32(2),
             budget=budget, window=window, use_bloom=False)
@@ -163,9 +163,9 @@ def main():
         return jax.lax.sort((src2, payload), num_keys=1)
 
     timeit("stage_b_full", p_full_b, table, colors, a_out["skeys"],
-           a_out["cls2"], a_out["mask2"], a_out["keep2"], a_out["found2"],
-           a_out["idx2"], a_out["src2"])
-    isnew = a_out["keep2"] & ~a_out["found2"]
+           a_out["cls2"], a_out["mask2"], a_out["keep2"], a_out["fidx2"],
+           a_out["src2"])
+    isnew = a_out["keep2"] & ~((a_out["fidx2"] >> 31) == 1)
     timeit("merge_sort", p_merge, table, a_out["skeys"], isnew)
     timeit("bucket_starts", p_starts, table.keys, table.n)
     timeit("unsort_sort3", p_unsort, a_out["src2"], a_out["cls2"])
