@@ -560,10 +560,15 @@ class ShardedCDBG:
             self.color_ref = self._pad_axis(self.color_ref, new_cap, 1, -1)
             self.flags = self._pad_axis(self.flags, new_cap, 1, 0)
 
-    def _ensure_colors(self, small_extra: int, dense_extra: int):
+    def _ensure_colors(self, small_extra: int, dense_extra: int,
+                       genomes: int | None = None):
+        """``genomes`` pre-sizes the bitmap width for a KNOWN final genome
+        count — the flush programs are shape-specialized on the width, so
+        growing it mid-build recompiles them (mirrors models/cdbg.py)."""
+        g = self.nb_genomes if genomes is None else genomes
         scap = self.ids.shape[1]
         dcap = self.rows.shape[1]
-        width = max(1, _next_pow2(math.ceil(max(self.nb_genomes, 1) / 32)))
+        width = max(1, _next_pow2(math.ceil(max(g, 1) / 32)))
         need_s = self._sd_max + small_extra
         need_d = self._dd_max + dense_extra
         if need_s > scap:
@@ -620,23 +625,28 @@ class ShardedCDBG:
         """
         if self._cur_gid is None:
             raise RuntimeError("call start_genome() first")
-        packed = np.asarray(packed, dtype=np.uint32)
+        on_device = isinstance(packed, jax.Array)
+        xp = jnp if on_device else np
+        if not on_device:
+            packed = np.asarray(packed, dtype=np.uint32)
+        n_in = packed.shape[0]
         if valid is None:
-            valid = np.ones(packed.shape[0], dtype=bool)
-        gabs = (np.full(packed.shape[0], self._cur_gid, np.int32)
-                if row_gid is None else np.asarray(row_gid, np.int32))
+            valid = xp.ones((n_in,), dtype=bool)
+        gabs = (xp.full((n_in,), self._cur_gid, dtype=xp.int32)
+                if row_gid is None else
+                xp.asarray(row_gid).astype(xp.int32))
         n = self.n_shards
         bsz = self.config.batch_size  # global batch (split over devices)
         bsz = max(n, (bsz // n) * n)
-        for off in range(0, packed.shape[0], bsz):
+        for off in range(0, n_in, bsz):
             chunk = packed[off: off + bsz]
             vchunk = valid[off: off + bsz]
             gchunk = gabs[off: off + bsz]
             if chunk.shape[0] < bsz:
                 pad = bsz - chunk.shape[0]
-                chunk = np.pad(chunk, ((0, pad), (0, 0)))
-                vchunk = np.pad(vchunk, (0, pad))
-                gchunk = np.pad(gchunk, (0, pad),
+                chunk = xp.pad(chunk, ((0, pad), (0, 0)))
+                vchunk = xp.pad(vchunk, (0, pad))
+                gchunk = xp.pad(gchunk, (0, pad),
                                 constant_values=self._cur_gid)
             self._buffer_chunk(chunk, vchunk, gchunk)
 
@@ -657,9 +667,9 @@ class ShardedCDBG:
         self.genome_names.extend(names)
         self._ensure_colors(0, 0)
         self._cur_gid = base + len(names) - 1
-        self.insert_kmers_packed(
-            packed, valid,
-            row_gid=np.asarray(row_gid, np.int64) + base)
+        row_gid = ((jnp if isinstance(row_gid, jax.Array) else np)
+                   .asarray(row_gid) + base)
+        self.insert_kmers_packed(packed, valid, row_gid=row_gid)
         self._genomes_since_compress += len(names)
 
     def _buffer_chunk(self, chunk: np.ndarray, vchunk: np.ndarray,
@@ -675,29 +685,38 @@ class ShardedCDBG:
             # and rebuilt the buffer — re-evaluate the layout before using it
             self._ensure_buf(chunk.shape[0])
         rows = self.n_shards * self._route_cap
+        # valid-gid extremes as host ints (one tiny sync for device-resident
+        # batches — the bulk ingest path keeps table-sized data on device)
+        if isinstance(gchunk, jax.Array):
+            big = np.int32(2**31 - 1)
+            anyv, gmin, gmax = (int(x) for x in jax.device_get((
+                jnp.any(vchunk),
+                jnp.min(jnp.where(vchunk, gchunk, big)),
+                jnp.max(jnp.where(vchunk, gchunk, -1)))))
+        else:
+            anyv = bool(vchunk.any())
+            gmin = int(gchunk[vchunk].min()) if anyv else 0
+            gmax = int(gchunk[vchunk].max()) if anyv else -1
         if self._window_start is None:
-            valid_g = gchunk[vchunk] if vchunk.any() else gchunk
-            self._window_start = int(valid_g.min()) if len(valid_g) else \
-                self._cur_gid
-        rel = (gchunk - self._window_start).astype(np.int32)
-        live_rel = rel[vchunk]
-        if len(live_rel) and (int(live_rel.min()) < 0
-                              or int(live_rel.max())
-                              >= self.config.genome_window):
+            self._window_start = gmin if anyv else self._cur_gid
+        rel = (gchunk - self._window_start).astype(
+            jnp.int32 if isinstance(gchunk, jax.Array) else np.int32)
+        if anyv and (gmin - self._window_start < 0
+                     or gmax - self._window_start
+                     >= self.config.genome_window):
             # this chunk's genomes don't fit the open window (out-of-order
             # gid stream, e.g. an index-merge replay): force a window
             # boundary and restart at this chunk's minimum — always safe,
             # the flush machinery tolerates replayed windows.
-            live_g = gchunk[vchunk]
-            if int(live_g.max()) - int(live_g.min()) \
-                    >= self.config.genome_window:
+            if gmax - gmin >= self.config.genome_window:
                 raise ValueError(
                     "one chunk spans >= genome_window genomes; split the "
                     "batch or raise genome_window")
             self.flush()
             self._ensure_buf(chunk.shape[0])
-            self._window_start = int(live_g.min())
-            rel = (gchunk - self._window_start).astype(np.int32)
+            self._window_start = gmin
+            rel = (gchunk - self._window_start).astype(
+                jnp.int32 if isinstance(gchunk, jax.Array) else np.int32)
         fn = self._cached(
             "route", (self.buf_keys.shape, chunk.shape, self._route_cap),
             lambda: jax.shard_map(

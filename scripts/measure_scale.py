@@ -257,12 +257,74 @@ def section_bloom():
     }), flush=True)
 
 
+def section_sharded1():
+    """Sharded window-flush insert on a REAL 1-device TPU mesh.
+
+    The CPU suite proves sharded semantics on a virtual 8-device mesh;
+    this measures the shard_map insert path (all_to_all routing carrying
+    gids + two flush stages) on hardware.  Workload: 128 genomes x 72k
+    rows (one full genome window), bulk-ingested.
+    """
+    import jax
+    import jax.numpy as jnp
+    from bloomfiltertrie_tpu.config import BFTConfig
+    from bloomfiltertrie_tpu.parallel.sharded import ShardedCDBG, make_mesh
+
+    k, w = 31, 2
+    n_genomes, per_genome = 128, 73728
+    rows = n_genomes * per_genome
+    cfg = BFTConfig(k=k, initial_capacity=1 << 24,
+                    initial_color_capacity=1 << 14,
+                    bloom_log2_bits=24, batch_size=rows,
+                    pending_runs=1, genome_window=128,
+                    treshold_compression=0, bloom_enabled=False)
+    tail = jnp.asarray([0xFFFFFFFF, 0xFFFFFFFC], jnp.uint32)[None, :]
+
+    def gen(seed):
+        core = jax.random.bits(jax.random.PRNGKey(2), (1 << 15, w),
+                               jnp.uint32) & tail
+        parts = []
+        for g in range(n_genomes):
+            u = jax.random.bits(jax.random.PRNGKey(seed + g),
+                                (per_genome - (1 << 15), w),
+                                jnp.uint32) & tail
+            parts += [core, u]
+        return jnp.concatenate(parts)
+
+    # batches stay DEVICE-resident (tunnel h2d is ~1 MB/s; real hosts ride
+    # PCIe); window 2 shares the core k-mers with window 1 (color updates)
+    # and brings fresh per-genome keys (merge growth) — the steady state.
+    b1, b2 = gen(500), gen(9000)
+    row_gid = jnp.arange(rows, dtype=jnp.int32) // per_genome
+    jax.block_until_ready((b1, b2, row_gid))
+    dbg = ShardedCDBG(cfg, mesh=make_mesh(1))
+    dbg._ensure_colors(0, 0, genomes=2 * n_genomes)  # one width, one compile
+    log("  warmup window (compile/load)...")
+    dbg.insert_genomes_bulk([f"w{g}" for g in range(n_genomes)], b1, row_gid)
+    dbg.flush()
+    log("  timing window 2 on the same instance (all programs warm)...")
+    t0 = time.monotonic()
+    dbg.insert_genomes_bulk([f"s{g}" for g in range(n_genomes)], b2, row_gid)
+    dbg.flush()
+    dt = time.monotonic() - t0
+    print(json.dumps({
+        "section": "sharded_mesh1_window_insert",
+        "genomes": n_genomes, "rows": rows,
+        "n_kmers": dbg.nb_kmers, "n_classes": dbg.nb_color_classes,
+        "build_s": round(dt, 2),
+        "insert_rate_kmers_s": round(rows / dt),
+    }), flush=True)
+
+
 if __name__ == "__main__":
     import jax
     jax.config.update("jax_compilation_cache_dir", "/root/repo/.jax_cache")
     jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
     which = sys.argv[1] if len(sys.argv) > 1 else "all"
     log(f"devices: {jax.devices()}")
+    if which in ("sharded1",):
+        log("== sharded 1-device mesh window insert ==")
+        section_sharded1()
     if which in ("all", "graph"):
         log("== graph 2M ==")
         section_graph()
