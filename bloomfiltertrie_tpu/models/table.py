@@ -255,365 +255,14 @@ def count_small_full(colors: ColorStore) -> jnp.ndarray:
 
 
 # ---------------------------------------------------------------------------
-# The insert step (jitted per (cap, dcap, cw, M) shape signature)
-# ---------------------------------------------------------------------------
-
-def _probe_main(table: KmerTable, skeys, svalid, use_pallas: bool):
-    """Membership+row of a KEY-SORTED batch against the main table.
-
-    The TPU path streams the whole table once through the Pallas rank kernel
-    (ops/pallas_kernels.py) — measured ~95 ms for 8M queries over a 16M-row
-    table vs ~900 ms for the bucketed binary search (random gathers are
-    latency-bound on TPU).  The XLA path (CPU tests) uses the prefix-bucketed
-    search, whose bucket index is valid because probes always run against the
-    last merged table state.
-    """
-    if use_pallas:
-        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
-        found, rank = pk.rank_sorted(table.keys, table.n, skeys, svalid)
-        idx = jnp.minimum(rank, table.capacity - 1)
-    else:
-        found, idx = ss.lookup(table.keys, table.n, skeys, table.bucket_starts)
-        found = found & svalid
-    return found, idx
-
-
-def _color_update(table: KmerTable, colors: ColorStore, found, idx,
-                  genome_id, affected_budget: int | None = None):
-    """Add genome g to the color class of every found k-mer.
-
-    The batched ``modify_annotations`` (src/retrieveAnnotation.c:232): rows
-    whose class already contains g are no-ops (src/retrieveAnnotation.c:278);
-    the distinct affected classes each spawn one new class ``old | {g}`` —
-    in the small pool while the result still fits S ids, in the dense pool
-    when a small class overflows (the in-memory mode transition of
-    ``modify_mode_annotation`` src/annotation.c:658) or the parent is dense.
-    Returns (color_ref, colors, n_new_small, n_new_dense).
-
-    ``affected_budget`` (static, default m): a host-guaranteed upper bound
-    on the number of DISTINCT classes in the batch — at most the class
-    count before the flush, typically orders of magnitude below m.  All
-    per-class work (pool gathers, membership, row construction, pool
-    scatters) runs at budget size after one compaction scatter; only the
-    class sort, the compaction, and the final remap touch m-sized arrays.
-    Profiled at 8M rows: 1253 ms (every step m-sized) -> ~220 ms.
-    """
-    m = found.shape[0]
-    a = m if affected_budget is None else min(affected_budget, m)
-    s_w = colors.small_width
-    cw = colors.width
-    g = jnp.asarray(genome_id, dtype=jnp.int32)
-    g_word = (g >> 5).astype(jnp.int32)
-    g_bit = (g & 31).astype(jnp.uint32)
-
-    # Sort rows by class id, carrying the source position; unique classes =
-    # run heads.  (Membership of g is per-CLASS, so it is computed after
-    # compaction, not per row.)
-    cls = jnp.where(found, table.color_ref[idx], INT32_MAX)
-    pos0 = jnp.arange(m, dtype=jnp.int32)
-    cls_sorted, src = jax.lax.sort((cls, pos0), num_keys=1)
-    keep = jnp.concatenate([jnp.ones((1,), bool),
-                            cls_sorted[1:] != cls_sorted[:-1]])
-    keep = keep & (cls_sorted != INT32_MAX)
-    run = jnp.cumsum(keep.astype(jnp.int32)) - 1   # unique-class rank per row
-    live = cls_sorted != INT32_MAX
-    n_classes = jnp.sum(keep.astype(jnp.int32))    # must be <= a (host bound)
-
-    # Compact the distinct classes into [a]: u_cls[r] = r-th distinct class.
-    u_cls = jnp.full((a,), INT32_MAX, dtype=jnp.int32).at[
-        jnp.where(keep, run, a)].set(cls_sorted, mode="drop")
-
-    # ---- per-class work at budget size ----
-    u_live = u_cls != INT32_MAX
-    u_dense = u_live & ((u_cls & DENSE_TAG) != 0)
-    u_small = u_live & ~u_dense
-    base_small = colors.ids[jnp.where(u_small, u_cls, 0)]        # [a, S]
-    parent_dense = colors.rows[jnp.where(u_dense, u_cls & ~DENSE_TAG, 0)]
-    small_has = jnp.any(base_small == g, axis=1)
-    # select word g_word of each dense parent (traced scalar column index:
-    # static cw-step select, no gather)
-    dense_word = jnp.zeros((a,), dtype=jnp.uint32)
-    for c in range(cw):
-        dense_word = jnp.where(g_word == c, parent_dense[:, c], dense_word)
-    dense_has = ((dense_word >> g_bit) & 1) == 1
-    has_g = jnp.where(u_dense, dense_has, small_has & u_small)
-    u_aff = u_live & ~has_g                        # classes gaining g
-
-    scount = jnp.sum((base_small != EMPTY_ID).astype(jnp.int32), axis=1)
-    overflow = u_aff & u_small & (scount >= s_w)
-    new_small = u_aff & u_small & (scount < s_w)
-    new_dense = u_aff & (u_dense | overflow)
-    r_small = jnp.cumsum(new_small.astype(jnp.int32)) - 1
-    r_dense = jnp.cumsum(new_dense.astype(jnp.int32)) - 1
-    n_new_small = jnp.sum(new_small.astype(jnp.int32))
-    n_new_dense = jnp.sum(new_dense.astype(jnp.int32))
-
-    # New small rows: g appended in the first empty slot.  Sorted-row
-    # invariant holds because g is the current (maximum) genome id.
-    iota_s = jnp.arange(s_w, dtype=jnp.int32)
-    appended = jnp.where(iota_s[None, :] == scount[:, None], g, base_small)
-    dest_small = jnp.where(new_small, colors.sd + r_small,
-                           colors.small_capacity)
-    ids_out = colors.ids
-    for c in range(s_w):
-        ids_out = ids_out.at[dest_small, c].set(appended[:, c], mode="drop")
-
-    # New dense rows: dense parent | {g}, or overflowing small row expanded.
-    gbit_col = (jnp.uint32(1) << g_bit) * (
-        jnp.arange(cw, dtype=jnp.int32)[None, :] == g_word
-    ).astype(jnp.uint32)
-    overflow_bm = ids_to_bitmap(
-        jnp.where(overflow[:, None], base_small, EMPTY_ID), cw)
-    dense_new = (jnp.where(u_dense[:, None], parent_dense, overflow_bm)
-                 | gbit_col)
-    dest_dense = jnp.where(new_dense, colors.dd + r_dense, colors.capacity)
-    rows_out = colors.rows
-    for c in range(cw):
-        rows_out = rows_out.at[dest_dense, c].set(dense_new[:, c], mode="drop")
-
-    # Per-class new (tagged) id; unaffected classes keep their old id.
-    new_id = jnp.where(
-        u_aff,
-        jnp.where(new_small, colors.sd + r_small,
-                  (colors.dd + r_dense) | DENSE_TAG),
-        u_cls)
-
-    # ---- remap m-sized rows through their run head ----
-    per_row_id = new_id[jnp.clip(run, 0, a - 1)]
-    row_changed = live & u_aff[jnp.clip(run, 0, a - 1)]
-    table_row = jnp.where(row_changed, idx[src], table.capacity)
-    color_ref = table.color_ref.at[table_row].set(per_row_id, mode="drop")
-    colors = ColorStore(ids=ids_out, rows=rows_out,
-                        sd=colors.sd + n_new_small,
-                        dd=colors.dd + n_new_dense)
-    return color_ref, colors, n_new_small, n_new_dense, n_classes
-
-
-def insert_sorted_impl(table: KmerTable, colors: ColorStore,
-                       bloom_bits: jnp.ndarray,
-                       skeys: jnp.ndarray, svalid: jnp.ndarray,
-                       skeep: jnp.ndarray,
-                       genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
-                       log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
-                       use_pallas: bool = False, use_bloom: bool = True,
-                       affected_budget: int | None = None):
-    """Insert a KEY-SORTED batch for genome ``genome_id``.
-
-    The functional analogue of the reference's hot loop ``insertKmers`` ->
-    ``insertKmer_Node`` (src/insertNode.c:18,38): hit => color update
-    (``modify_annotations`` src/retrieveAnnotation.c:232), miss => table merge.
-    Same-genome re-insertion is a no-op (src/retrieveAnnotation.c:278).
-
-    Args are the output of :func:`sortedset.sort_queries`: ``skeys`` sorted
-    with invalid rows masked to sentinel (sorting last), ``svalid`` the live
-    mask, ``skeep`` first-occurrence-of-valid-key mask.  Duplicates stay in
-    place (no compaction scatter anywhere): the probe tolerates them, the
-    color update and the masked merge select through ``skeep``.
-
-    Caller contract (host wrapper enforces):
-      * table has >= sum(skeep) free rows;
-      * small pool has >= sd free rows, dense pool >= dd + small_full free
-        rows (every distinct affected class spawns at most one child class
-        per flush; only size-S small classes can overflow into dense);
-      * ``singleton_cls`` is the (small-pool) class id of {genome_id}.
-
-    Returns (table, colors, bloom_bits, stats) with stats = dict of scalars.
-    """
-    m = skeys.shape[0]
-
-    # 1. Split found / new: one streaming pass over the table (Pallas) or a
-    #    bucketed binary search (XLA fallback).
-    found, idx = _probe_main(table, skeys, svalid, use_pallas)
-    found = found & svalid
-
-    # 2. Color update for found k-mers whose class lacks genome g.
-    # ``affected_budget`` is the host's bound on distinct classes in the
-    # batch (<= class count before the flush) — all per-class work runs at
-    # that size (see _color_update).
-    color_ref, colors, n_new_small, n_new_dense, n_classes = _color_update(
-        table, colors, found & skeep, idx, genome_id,
-        affected_budget=affected_budget)
-
-    # 3. Merge new k-mers (valid, first-occurrence, not found) into the
-    #    table via one masked multi-operand sort — no compaction scatter.
-    is_new = svalid & skeep & ~found
-    merged_keys, merged_n, (merged_cref, merged_flags) = ss.merge_into_masked(
-        table.keys, table.n, skeys, is_new,
-        table_payloads=(color_ref, table.flags),
-        new_payloads=(jnp.full((m,), singleton_cls, dtype=jnp.int32),
-                      jnp.zeros((m,), dtype=jnp.uint8)),
-    )
-
-    # 4. Bloom plane update for the new keys (reference BF_filter2 analogue,
-    #    include/CC.h:38-45; here one flat plane per shard).  Optional: the
-    #    exact rank probe does not need it (config.bloom_enabled).
-    if use_bloom:
-        bloom_bits = bloom_ops.add(bloom_bits, skeys, is_new,
-                                   log2_bloom, seed1, seed2)
-
-    # 5. Prefix-bucket index rebuild (SkipFilter2/3 analogue) — one 64K-query
-    #    search, ~47 ms at 16M rows, amortized over a whole genome.
-    merged_starts = ss.build_bucket_starts(merged_keys, merged_n)
-
-    table = KmerTable(keys=merged_keys, color_ref=merged_cref,
-                      flags=merged_flags, n=merged_n,
-                      bucket_starts=merged_starts)
-    stats = {"unique": jnp.sum(skeep.astype(jnp.int32)),
-             "new": jnp.sum(is_new.astype(jnp.int32)),
-             "colored": n_new_small + n_new_dense,
-             "colored_small": n_new_small, "colored_dense": n_new_dense,
-             "n": merged_n, "sd": colors.sd, "dd": colors.dd,
-             "n_classes_seen": n_classes,
-             "small_full": count_small_full(colors)}
-    return table, colors, bloom_bits, stats
-
-
-def insert_batch_impl(table: KmerTable, colors: ColorStore, bloom_bits: jnp.ndarray,
-                      batch_keys: jnp.ndarray, batch_valid: jnp.ndarray,
-                      genome_id: jnp.ndarray, singleton_cls: jnp.ndarray,
-                      log2_bloom: int, seed1: jnp.ndarray, seed2: jnp.ndarray,
-                      use_pallas: bool = False, use_bloom: bool = True,
-                      affected_budget: int | None = None):
-    """Immediate insert of an unsorted batch: sort + :func:`insert_sorted_impl`.
-
-    Used by the sharded per-chunk path and as the compile-check entry; the
-    single-chip host path buffers batches and flushes per genome instead
-    (:func:`buffer_batch` + :func:`flush_genome`).
-    """
-    skeys, svalid, skeep = ss.sort_queries(batch_keys, batch_valid)
-    return insert_sorted_impl(table, colors, bloom_bits, skeys, svalid, skeep,
-                              genome_id, singleton_cls, log2_bloom,
-                              seed1, seed2, use_pallas=use_pallas,
-                              use_bloom=use_bloom,
-                              affected_budget=affected_budget)
-
-
-insert_batch = functools.partial(
-    jax.jit, static_argnames=("log2_bloom", "use_pallas", "use_bloom",
-                              "affected_budget"),
-    donate_argnums=(0, 1, 2)
-)(insert_batch_impl)
-
-
-# ---------------------------------------------------------------------------
-# Run-buffered insertion (LSM-lite): the per-batch step is a plain buffer
-# append (two dynamic_update_slices — microseconds), and ALL work — dedup,
-# probe, color update, merge, Bloom — happens once per genome (or when the
-# buffer fills) in :func:`flush_genome`.  The moral ancestor is the
-# reference's own deferred structure: UCs absorb inserts cheaply and burst
-# into CCs later (src/insertNode.c:196-223); here a "UC" is the whole run
-# buffer and the "burst" is one sorted-batch insert.
-# ---------------------------------------------------------------------------
-
-@jax.tree_util.register_dataclass
-@dataclasses.dataclass
-class PendingRuns:
-    """Fixed-shape buffer of raw (unsorted, undeduplicated) k-mer batches.
-
-    Invariant: every run belongs to the CURRENT genome (the host flushes at
-    ``end_genome``), so every pending key's color class after the flush is
-    either the genome's singleton class (new key) or ``old | {g}`` (key
-    already in the main table).  Keys MAY repeat within and across runs —
-    the flush sort deduplicates (keep-first).
-    """
-
-    keys: jnp.ndarray    # uint32[R, M, W] raw batch rows
-    valid: jnp.ndarray   # bool[R, M]
-    used: jnp.ndarray    # int32 scalar: runs in use
-
-    @property
-    def n_runs(self) -> int:
-        return self.keys.shape[0]
-
-    @property
-    def run_size(self) -> int:
-        return self.keys.shape[1]
-
-
-def empty_runs(n_runs: int, run_size: int, words: int) -> PendingRuns:
-    return PendingRuns(
-        keys=jnp.full((n_runs, run_size, words), ss.SENTINEL, dtype=jnp.uint32),
-        valid=jnp.zeros((n_runs, run_size), dtype=bool),
-        used=jnp.zeros((), dtype=jnp.int32),
-    )
-
-
-def buffer_batch_impl(runs: PendingRuns, batch_keys: jnp.ndarray,
-                      batch_valid: jnp.ndarray) -> PendingRuns:
-    """Append one raw batch to the run buffer (caller checks used < R)."""
-    run_keys = jax.lax.dynamic_update_slice(
-        runs.keys, batch_keys[None], (runs.used, 0, 0))
-    run_valid = jax.lax.dynamic_update_slice(
-        runs.valid, batch_valid[None], (runs.used, 0))
-    return PendingRuns(keys=run_keys, valid=run_valid, used=runs.used + 1)
-
-
-buffer_batch = functools.partial(jax.jit, donate_argnums=(0,))(buffer_batch_impl)
-
-
-def buffer_bulk_impl(runs: PendingRuns, batch_keys: jnp.ndarray,
-                     batch_valid: jnp.ndarray, n_new_runs: int) -> PendingRuns:
-    """Append a whole multiple-of-run_size batch as ``n_new_runs`` runs in
-    ONE program (vs one dispatch per run — per-dispatch latency over remote
-    links makes the difference; caller checks used + n_new_runs <= R)."""
-    m_run = runs.run_size
-    w = runs.keys.shape[2]
-    rk = jax.lax.dynamic_update_slice(
-        runs.keys, batch_keys.reshape(n_new_runs, m_run, w),
-        (runs.used, 0, 0))
-    rv = jax.lax.dynamic_update_slice(
-        runs.valid, batch_valid.reshape(n_new_runs, m_run), (runs.used, 0))
-    return PendingRuns(keys=rk, valid=rv, used=runs.used + n_new_runs)
-
-
-buffer_bulk = functools.partial(
-    jax.jit, static_argnames=("n_new_runs",), donate_argnums=(0,)
-)(buffer_bulk_impl)
-
-
-def flush_genome_impl(table: KmerTable, colors: ColorStore, runs: PendingRuns,
-                      bloom_bits: jnp.ndarray, genome_id: jnp.ndarray,
-                      singleton_cls: jnp.ndarray, log2_bloom: int,
-                      seed1, seed2, use_pallas: bool = False,
-                      use_bloom: bool = True,
-                      affected_budget: int | None = None):
-    """Flush the whole run buffer into the table: ONE sorted-batch insert.
-
-    Caller contract: table capacity >= n + total pending; small pool has
-    >= sd free rows (every small class can spawn one ``old | {g}`` child);
-    dense pool has >= dd + small_full free rows (every dense class can spawn
-    a dense child, every size-S small class can overflow into dense).
-    Returns (table, colors, bloom_bits, empty runs, stats).
-    """
-    r_n, m_run, w = runs.keys.shape
-    total = r_n * m_run
-    run_live = jax.lax.broadcasted_iota(jnp.int32, (r_n, m_run), 0) < runs.used
-    rvalid = (runs.valid & run_live).reshape(total)
-    skeys, svalid, skeep = ss.sort_queries(runs.keys.reshape(total, w), rvalid)
-    table, colors, bloom_bits, stats = insert_sorted_impl(
-        table, colors, bloom_bits, skeys, svalid, skeep,
-        genome_id, singleton_cls, log2_bloom, seed1, seed2,
-        use_pallas=use_pallas, use_bloom=use_bloom,
-        affected_budget=affected_budget)
-    return table, colors, bloom_bits, empty_runs(r_n, m_run, w), stats
-
-
-flush_genome = functools.partial(
-    jax.jit, static_argnames=("log2_bloom", "use_pallas", "use_bloom",
-                              "affected_budget"),
-    donate_argnums=(0, 1, 2, 3)
-)(flush_genome_impl)
-
-
-# ---------------------------------------------------------------------------
 # Multi-genome window flush.
 #
-# The per-genome flush (flush_genome above, kept for the sharded path) pays
-# the full fixed cost — batch sort, probe, color update, capacity-sized merge
-# — once per genome.  A pan-genome build of many SMALL genomes (BASELINE
-# config 5: 1000 strains) therefore pays ~1000 fixed costs; the reference's
-# per-genome loop (insert_Genomes_from_KmerFiles src/file_io.c:89) has no
-# such fixed cost because its work is per-k-mer.
+# A per-genome flush pays the full fixed cost — batch sort, probe, color
+# update, capacity-sized merge — once per genome.  A pan-genome build of
+# many SMALL genomes (BASELINE config 5: 1000 strains) would therefore pay
+# ~1000 fixed costs; the reference's per-genome loop
+# (insert_Genomes_from_KmerFiles src/file_io.c:89) has no such fixed cost
+# because its work is per-k-mer.
 #
 # The window flush amortizes: rows from up to ``window`` consecutive genomes
 # accumulate in ONE flat buffer, each row tagged with its window-relative
@@ -700,6 +349,26 @@ def buffer_append_rows_impl(buf: PendingBuffer, keys: jnp.ndarray,
 
 buffer_append_rows = functools.partial(jax.jit, donate_argnums=(0,))(
     buffer_append_rows_impl)
+
+
+def _probe_main(table: KmerTable, skeys, svalid, use_pallas: bool):
+    """Membership+row of a KEY-SORTED batch against the main table.
+
+    The TPU path streams the whole table once through the Pallas rank kernel
+    (ops/pallas_kernels.py, density-adaptive chunking) — random gathers are
+    latency-bound on TPU, so the streaming pass beats the bucketed binary
+    search by ~10x at scale.  The XLA path (CPU tests) uses the
+    prefix-bucketed search, whose bucket index is valid because probes
+    always run against the last merged table state.
+    """
+    if use_pallas:
+        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        found, rank = pk.rank_sorted(table.keys, table.n, skeys, svalid)
+        idx = jnp.minimum(rank, table.capacity - 1)
+    else:
+        found, idx = ss.lookup(table.keys, table.n, skeys, table.bucket_starts)
+        found = found & svalid
+    return found, idx
 
 
 def _suffix_segment_or(head: jnp.ndarray, bits: tuple):
