@@ -409,7 +409,8 @@ class ColoredDBG:
             jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
             jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32),
             budget=budget, window=cfg.genome_window,
-            use_bloom=cfg.bloom_enabled)
+            use_bloom=cfg.bloom_enabled,
+            use_pallas=self._pallas_eligible())
         st = jax.device_get(stats)
         self._n = int(st["n"])
         self._sd = int(st["sd"])

@@ -479,7 +479,8 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
                        bloom_bits: jnp.ndarray,
                        skeys, cls2, mask2, keep2, fidx2, src2,
                        g0: jnp.ndarray, log2_bloom: int, seed1, seed2,
-                       budget: int, window: int, use_bloom: bool = True):
+                       budget: int, window: int, use_bloom: bool = True,
+                       use_pallas: bool = False):
     """Stage B of the window flush: per-pair class construction (at budget
     size), color_ref rewrite, table merge, Bloom + prefix-index rebuild.
 
@@ -664,10 +665,20 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
     newcls1 = out3[1]
     isnew1 = newcls1 >= 0
 
-    merged_keys, merged_n, (merged_cref, merged_flags) = ss.merge_into_masked(
-        table.keys, table.n, skeys, isnew1,
-        table_payloads=(cref, table.flags),
-        new_payloads=(newcls1, jnp.zeros((t_rows,), dtype=jnp.uint8)))
+    from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+    if (use_pallas and table.capacity % pk.MTILE == 0
+            and t_rows % pk.MTILE == 0):
+        # streaming merge-path kernels: compact the new rows, then merge at
+        # ~read+write bandwidth (vs the (cap+T)-row multi-operand sort)
+        merged_keys, merged_n, merged_cref, merged_flags = \
+            pk.merge_sorted_masked(table.keys, table.n, cref, table.flags,
+                                   skeys, isnew1, newcls1)
+    else:
+        merged_keys, merged_n, (merged_cref, merged_flags) = \
+            ss.merge_into_masked(
+                table.keys, table.n, skeys, isnew1,
+                table_payloads=(cref, table.flags),
+                new_payloads=(newcls1, jnp.zeros((t_rows,), dtype=jnp.uint8)))
 
     if use_bloom:
         bloom_bits = bloom_ops.add(bloom_bits, skeys, isnew1,
@@ -689,7 +700,8 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
 
 flush_stage_b = functools.partial(
     jax.jit,
-    static_argnames=("log2_bloom", "budget", "window", "use_bloom"),
+    static_argnames=("log2_bloom", "budget", "window", "use_bloom",
+                     "use_pallas"),
     donate_argnums=(0, 1, 2),
 )(flush_stage_b_impl)
 

@@ -30,6 +30,7 @@ import functools
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
@@ -188,3 +189,357 @@ def lookup_unsorted(table_keys: jnp.ndarray, n: jnp.ndarray,
     idx = jnp.zeros((m,), jnp.int32).at[orig].set(
         jnp.minimum(r_s, cap - 1))
     return found, idx
+
+
+# ---------------------------------------------------------------------------
+# Merge-path kernels: sorted-table merge at streaming bandwidth.
+#
+# The XLA formulation of "merge new sorted rows into the sorted table"
+# (ops/sortedset.py merge_into_masked) is one (cap+T)-row multi-operand
+# lax.sort — measured ~235 ms at 16M+16M rows, the window flush's largest
+# remaining cost.  Merging two ALREADY-SORTED lists needs only one linear
+# pass: these kernels do it as (1) a stream COMPACTION of the masked new
+# rows (live rows are interspersed with dead ones in key order) and (2) a
+# tiled MERGE-PATH merge — per output tile, a TT-row window of each input
+# (split points precomputed by binary search) is DMA'd to VMEM, and a
+# bitonic MERGE network (concat(asc A, reversed B) is bitonic; log2(2TT)
+# compare-exchange stages on the VPU) yields the tile's rows exactly.
+# Total traffic = read A + read B + write out, at HBM bandwidth.
+# ---------------------------------------------------------------------------
+
+MTILE = 8192    # rows per merge/compaction tile (bigger tiles
+#                 amortize the serialized per-tile DMA latency)
+SENTINEL32 = np.uint32(0xFFFFFFFF)
+
+
+def _cx_stage(x, w: int, j: int, k: int):
+    """One bitonic compare-exchange stage on a [C, L] channel-stacked array.
+
+    Partner of lane i is i XOR j — fetched with two static pltpu.rolls of
+    the WHOLE [C, L] array and a parity select, so the C channels ride the
+    sublanes together (per-channel [1, L] rows used 1/8 of the VPU).
+    Mosaic supports neither vector reverse nor small-minor reshapes, hence
+    the roll formulation; block direction alternates by bit ``k`` of the
+    lane index (k == 0 => ascending everywhere, the bitonic-MERGE case).
+    The first ``w`` channels are the lexicographic sort key.
+    """
+    l_len = x.shape[-1]
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, l_len), 1)
+    upper = (pos & j) != 0
+    # roll shift must be non-negative: -j mod L == L - j
+    part = jnp.where(upper, pltpu.roll(x, j, 1),
+                     pltpu.roll(x, l_len - j, 1))
+    lt = jnp.zeros((1, l_len), dtype=jnp.bool_)
+    gt = jnp.zeros((1, l_len), dtype=jnp.bool_)
+    eq = jnp.ones((1, l_len), dtype=jnp.bool_)
+    for i in range(w):
+        ci = x[i: i + 1, :]
+        pi = part[i: i + 1, :]
+        lt = lt | (eq & (ci < pi))
+        gt = gt | (eq & (pi < ci))
+        eq = eq & (ci == pi)
+    # pure mask algebra (a select over i1 vectors does not lower in Mosaic)
+    asc_take = (upper & lt) | (~upper & gt)
+    if k:
+        asc = (pos & k) == 0
+        desc_take = (upper & gt) | (~upper & lt)
+        take = (asc & asc_take) | (~asc & desc_take)
+    else:
+        take = asc_take
+    return jnp.where(take, part, x)
+
+
+def _bitonic_merge_chans(x, w: int):
+    """Sort a BITONIC [C, L] array ascending by the first ``w`` key
+    channels: log2(L) compare-exchange stages."""
+    l_len = x.shape[-1]
+    j = l_len // 2
+    while j >= 1:
+        x = _cx_stage(x, w, j, 0)
+        j //= 2
+    return x
+
+
+def _bitonic_sort_chans(x, w: int):
+    """Full bitonic sort (ascending) of a [C, L] channel-stacked array."""
+    l_len = x.shape[-1]
+    k = 2
+    while k <= l_len:
+        j = k // 2
+        while j >= 1:
+            x = _cx_stage(x, w, j, k if k < l_len else 0)
+            j //= 2
+        k *= 2
+    return x
+
+
+def _compact_kernel(offs_ref, x_hbm, out_hbm, buf, obuf, sem_i, sem_o, *,
+                    c: int):
+    """Pack each tile's live rows (liveness channel c-1: 0 live, 1 dead)
+    to the front IN ORDER and write them at this tile's global live
+    offset.  Dynamic HBM slices must be 128-aligned, so the write is a
+    read-modify-write of an aligned (MTILE+128)-wide window: the packed
+    block rotates into place, the sub-alignment head keeps the previous
+    content.  Consecutive tiles overlap-write each other's sentinel tails;
+    the sequential TPU grid makes the RMW race-free and later (live)
+    writes win, so the live prefix of the output is exactly the compacted
+    stream."""
+    t = pl.program_id(0)
+    cp = pltpu.make_async_copy(x_hbm.at[:, pl.ds(t * MTILE, MTILE)], buf,
+                               sem_i)
+    cp.start()
+    off = offs_ref[t]
+    off_al = (off // 128) * 128
+    d = off - off_al
+    wlen = MTILE + 128
+    cp_o = pltpu.make_async_copy(out_hbm.at[:, pl.ds(off_al, wlen)], obuf,
+                                 sem_o)
+    cp_o.start()
+    cp.wait()
+    x = buf[:, :]
+    dead = x[c - 1: c, :] == 1
+    pos = jax.lax.broadcasted_iota(jnp.int32, (1, MTILE), 1)
+    key = jnp.where(dead, pos + MTILE, pos).astype(jnp.uint32)
+    x = jnp.where(dead, jnp.uint32(0xFFFFFFFF), x)
+    # place the sort key into channel 0 via a sublane mask (row slicing +
+    # re-concat leaves a sublane-offset layout Mosaic cannot re-concat);
+    # channel 0 (the merge dead flag) is reconstructed from the sorted key.
+    subl = jax.lax.broadcasted_iota(jnp.int32, (c, MTILE), 0)
+    x = jnp.where(subl == 0, jnp.broadcast_to(key, (c, MTILE)), x)
+    x = _bitonic_sort_chans(x, 1)               # stable live-first order
+    ch0 = jnp.where(x[0:1, :] >= jnp.uint32(MTILE),
+                    jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+    packed = jnp.where(subl == 0, jnp.broadcast_to(ch0, (c, MTILE)), x)
+    padded = jnp.concatenate(
+        [packed, jnp.full((c, 128), 0xFFFFFFFF, jnp.uint32)], axis=1)
+    rolled = pltpu.roll(padded, d, 1)     # packed block lands at [d, d+MTILE)
+    wpos = jax.lax.broadcasted_iota(jnp.int32, (1, wlen), 1)
+    cp_o.wait()
+    obuf[:, :] = jnp.where(wpos < d, obuf[:, :], rolled)
+    cp2 = pltpu.make_async_copy(obuf, out_hbm.at[:, pl.ds(off_al, wlen)],
+                                sem_o)
+    cp2.start()
+    cp2.wait()
+
+
+def _merge_kernel(asplit_ref, a_hbm, brev_hbm, out_ref, abuf, bbuf, sem_a,
+                  sem_b, *, w: int, lb: int):
+    """One output tile of the merge path: window of A (ascending) ++ window
+    of pre-REVERSED B (descending) is bitonic; the merge network's first
+    MTILE lanes are the tile's rows.  Windows load from 128-aligned
+    offsets (dynamic HBM slice constraint) and rotate into place."""
+    t = pl.program_id(0)
+    wlen = MTILE + 128
+    a0 = asplit_ref[t]
+    a_al = (a0 // 128) * 128
+    cpa = pltpu.make_async_copy(a_hbm.at[:, pl.ds(a_al, wlen)], abuf, sem_a)
+    cpa.start()
+    # window [b0, b0+MTILE) of B, read descending from the reversed copy
+    b0 = t * MTILE - a0
+    bs = lb - MTILE - b0
+    b_al = (bs // 128) * 128
+    cpb = pltpu.make_async_copy(brev_hbm.at[:, pl.ds(b_al, wlen)], bbuf,
+                                sem_b)
+    cpb.start()
+    cpa.wait()
+    cpb.wait()
+    # rotate left by the sub-alignment delta: desired window lands at [0, MTILE)
+    a_win = pltpu.roll(abuf[:, :], (wlen - (a0 - a_al)) % wlen,
+                       1)[:, :MTILE]
+    b_win = pltpu.roll(bbuf[:, :], (wlen - (bs - b_al)) % wlen,
+                       1)[:, :MTILE]
+    x = jnp.concatenate([a_win, b_win], axis=1)               # bitonic
+    merged = _bitonic_merge_chans(x, w)
+    out_ref[:, :] = merged[:, :MTILE]
+
+
+def compact_rows(stacked: jnp.ndarray, interpret: bool = False):
+    """Stable stream compaction of [C, T] channel-stacked rows.
+
+    Channel C-1 is the liveness flag (0 live, 1 dead); channel 0 MUST be a
+    dead-flag channel too (it is sacrificed for the in-tile sort key and
+    reconstructed as 0 for live rows / 0xFFFFFFFF for the tail).  Returns
+    ([C, T] with the live rows packed to the front IN ORDER and a
+    0xFFFFFFFF sentinel tail, live count).  ``T`` must be a multiple of
+    MTILE.
+    """
+    c, t_len = stacked.shape
+    n_tiles = t_len // MTILE
+    live = (stacked[c - 1].reshape(n_tiles, MTILE) == 0).sum(
+        axis=1).astype(jnp.int32)
+    offs = jnp.concatenate([jnp.zeros((1,), jnp.int32),
+                            jnp.cumsum(live)[:-1]])
+    out = pl.pallas_call(
+        functools.partial(_compact_kernel, c=c),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(n_tiles,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
+            scratch_shapes=[
+                pltpu.VMEM((c, MTILE), jnp.uint32),
+                pltpu.VMEM((c, MTILE + 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ]),
+        out_shape=jax.ShapeDtypeStruct((c, t_len + 128), jnp.uint32),
+        interpret=interpret,
+    )(offs, stacked)
+    out = out[:, :t_len]
+    # anything at/after the final write window's end is unwritten garbage;
+    # force it to sentinel (rows in [nb, last_end) already hold the last
+    # tiles' sentinel fill).
+    nb = jnp.sum(live)
+    last_end = offs[-1] + MTILE
+    tail = jax.lax.broadcasted_iota(jnp.int32, (1, t_len), 1) >= last_end
+    out = jnp.where(tail, jnp.uint32(0xFFFFFFFF), out)
+    return out, nb
+
+
+def merge_path(a_stacked: jnp.ndarray, b_stacked: jnp.ndarray,
+               nb: jnp.ndarray, out_tiles: int, w: int,
+               interpret: bool = False):
+    """Merge-path merge of two sorted channel-stacked arrays.
+
+    ``a_stacked`` [C, LA], ``b_stacked`` [C, LB]: first ``w`` channels are
+    the lexicographic sort keys (ascending, sentinel-padded tails); both
+    must be readable MTILE past any split (callers pad).  ``nb`` bounds
+    the live B rows entering the union.  Returns [C, out_tiles*MTILE] =
+    the first out_tiles*MTILE rows of the union of A[: LA] and B[: nb].
+    """
+    c, la = a_stacked.shape
+    lb = b_stacked.shape[1]
+    g = out_tiles
+    o = jnp.arange(g, dtype=jnp.int32) * MTILE
+    lo = jnp.maximum(0, o - nb)
+    # clamp so the 128-aligned-down window never reads past the padding
+    hi = jnp.minimum(o, la - MTILE - 128)
+
+    def body(_, lohi):
+        lo, hi = lohi
+        mid = (lo + hi) >> 1
+        bidx = jnp.maximum(o - mid - 1, 0)
+        a_lt = jnp.zeros((g,), dtype=jnp.bool_)
+        eq = jnp.ones((g,), dtype=jnp.bool_)
+        for i in range(w):
+            av = a_stacked[i, mid]
+            bv = b_stacked[i, bidx]
+            a_lt = a_lt | (eq & (av < bv))
+            eq = eq & (av == bv)
+        go_right = (o - mid - 1 >= 0) & a_lt
+        lo = jnp.where(go_right, mid + 1, lo)
+        hi = jnp.where(go_right, hi, mid)
+        return lo, hi
+
+    steps = max(int(la).bit_length(), 1)
+    lo, hi = jax.lax.fori_loop(0, steps, body, (lo, hi))
+    asplit = lo
+    b_rev = jnp.flip(b_stacked, axis=1)   # XLA-side reverse (Mosaic has none)
+    # 128 slack columns: the aligned-down window [bs_al, bs_al+MTILE+128)
+    # may extend past lb when bs is maximal; the slack is never selected
+    # (the roll discards it) but must be in bounds.
+    b_rev = jnp.concatenate(
+        [b_rev, jnp.zeros((c, 128), jnp.uint32)], axis=1)
+
+    out = pl.pallas_call(
+        functools.partial(_merge_kernel, w=w, lb=lb),
+        grid_spec=pltpu.PrefetchScalarGridSpec(
+            num_scalar_prefetch=1,
+            grid=(g,),
+            in_specs=[pl.BlockSpec(memory_space=pltpu.HBM),
+                      pl.BlockSpec(memory_space=pltpu.HBM)],
+            out_specs=pl.BlockSpec((c, MTILE), lambda t, asplit: (0, t)),
+            scratch_shapes=[
+                pltpu.VMEM((c, MTILE + 128), jnp.uint32),
+                pltpu.VMEM((c, MTILE + 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA,
+                pltpu.SemaphoreType.DMA,
+            ]),
+        out_shape=jax.ShapeDtypeStruct((c, g * MTILE), jnp.uint32),
+        interpret=interpret,
+    )(asplit, a_stacked, b_rev)
+    return out
+
+
+def _tile_channels(c: int) -> int:
+    """Round a channel count up to an (8,128)-tiling-friendly value: HBM
+    memref slices with 6-row views fail Mosaic's sublane tiling; 1/2/4 or a
+    multiple of 8 are safe."""
+    if c <= 4:
+        return 1 << (c - 1).bit_length() if c > 1 else 1
+    return ((c + 7) // 8) * 8
+
+
+def _pad_channels(x: jnp.ndarray, c_target: int) -> jnp.ndarray:
+    c = x.shape[0]
+    if c == c_target:
+        return x
+    return jnp.concatenate(
+        [x, jnp.zeros((c_target - c, x.shape[1]), x.dtype)], axis=0)
+
+
+@functools.partial(jax.jit, static_argnames=("interpret",))
+def merge_sorted_masked(table_keys: jnp.ndarray, table_n: jnp.ndarray,
+                        cref: jnp.ndarray, flags: jnp.ndarray,
+                        skeys: jnp.ndarray, isnew: jnp.ndarray,
+                        newcls: jnp.ndarray, interpret: bool = False):
+    """Streaming replacement for ``sortedset.merge_into_masked``.
+
+    Compacts the ``isnew``-masked rows of the key-sorted batch with the
+    stream-compaction kernel, then merge-path-merges them into the sorted
+    table — total traffic ~ read A + read B + write out, vs the XLA
+    formulation's (cap+T)-row multi-operand sort (~235 ms at 16M+16M).
+
+    A leading DEAD-flag key channel orders live rows strictly before
+    sentinel padding, so a genuine all-T key (bit-identical to the
+    sentinel when k == 16*W) can never lose its payload to an unstable
+    tie among dead rows.
+
+    Preconditions: cap % MTILE == 0, T % MTILE == 0, live new keys unique
+    and disjoint from live table keys, n + nb <= cap.
+    Returns (merged_keys [cap, W], merged_n, merged_cref, merged_flags).
+    """
+    cap, w = table_keys.shape
+    t_rows = skeys.shape[0]
+    iota_cap = jnp.arange(cap, dtype=jnp.int32)
+
+    c_m = _tile_channels(w + 3)           # merge channels, tiling-friendly
+
+    # ---- B: compact the masked new rows (liveness channel LAST) ----
+    dead_b = (~isnew).astype(jnp.uint32)
+    b_core = jnp.concatenate([
+        dead_b[None],
+        skeys.T,
+        newcls.astype(jnp.uint32)[None],
+        jnp.zeros((1, t_rows), jnp.uint32),   # flags of new rows
+    ], axis=0)
+    c_c = _tile_channels(w + 4)
+    b_in = jnp.concatenate([
+        _pad_channels(b_core, c_c - 1), dead_b[None]], axis=0)
+    b_c, nb = compact_rows(b_in, interpret=interpret)
+    b_pad = jnp.concatenate([
+        _pad_channels(b_c[: w + 3], c_m),
+        jnp.full((c_m, MTILE + 256), SENTINEL32, dtype=jnp.uint32)],
+        axis=1)
+
+    # ---- A: stacked table channels, MTILE sentinel pad ----
+    a_dead = (iota_cap >= table_n).astype(jnp.uint32)
+    a_st = _pad_channels(jnp.concatenate([
+        a_dead[None],
+        table_keys.T,
+        cref.astype(jnp.uint32)[None],
+        flags.astype(jnp.uint32)[None],
+    ], axis=0), c_m)
+    a_pad = jnp.concatenate([
+        a_st, jnp.full((c_m, MTILE + 256), SENTINEL32, dtype=jnp.uint32)],
+        axis=1)
+
+    out = merge_path(a_pad, b_pad, nb, cap // MTILE, w + 1,
+                     interpret=interpret)
+    merged_n = table_n + nb
+    live = iota_cap < merged_n
+    merged_keys = jnp.where(live[:, None], out[1: 1 + w].T,
+                            jnp.full_like(table_keys, SENTINEL32))
+    merged_cref = jnp.where(live, out[1 + w].astype(jnp.int32), -1)
+    merged_flags = jnp.where(live, out[2 + w], 0).astype(jnp.uint8)
+    return merged_keys, merged_n, merged_cref, merged_flags

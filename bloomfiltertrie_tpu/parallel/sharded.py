@@ -147,7 +147,7 @@ def _flush_a_body(keys, cref, flags, n, starts, buf_keys, buf_gid, buf_valid,
 def _flush_b_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
                   skeys, cls2, mask2, keep2, fidx2, src2,
                   drop_acc, g0, seeds, *, log2_bloom: int, budget: int,
-                  window: int, use_bloom: bool):
+                  window: int, use_bloom: bool, use_pallas: bool):
     table = tbl.KmerTable(keys=keys[0], color_ref=cref[0], flags=flags[0],
                           n=n[0], bucket_starts=starts[0])
     colors = tbl.ColorStore(ids=ids[0], rows=rows[0], sd=sd[0], dd=dd[0])
@@ -155,7 +155,8 @@ def _flush_b_body(keys, cref, flags, n, starts, ids, sd, rows, dd, bloom_bits,
         table, colors, bloom_bits[0],
         skeys[0], cls2[0], mask2[0], keep2[0], fidx2[0], src2[0],
         g0, log2_bloom, seeds[0], seeds[1],
-        budget=budget, window=window, use_bloom=use_bloom)
+        budget=budget, window=window, use_bloom=use_bloom,
+        use_pallas=use_pallas)
     totals = {
         "new": jax.lax.psum(stats["new"], AXIS),
         "colored": jax.lax.psum(stats["colored_small"]
@@ -775,12 +776,14 @@ class ShardedCDBG:
         budget = max(1024, _next_pow2(max(n_pairs, 1)))
         b_fn = self._cached(
             "flush_b", (self.keys.shape, self.ids.shape, self.rows.shape,
-                        self.buf_keys.shape, budget),
+                        self.buf_keys.shape, budget,
+                        self._pallas_eligible()),
             lambda: jax.shard_map(
                 functools.partial(
                     _flush_b_body, log2_bloom=self.config.bloom_log2_bits,
                     budget=budget, window=window,
-                    use_bloom=self.config.bloom_enabled),
+                    use_bloom=self.config.bloom_enabled,
+                    use_pallas=self._pallas_eligible()),
                 mesh=self.mesh, check_vma=False,
                 in_specs=(P(AXIS),) * 10 + (P(AXIS),) * 6
                 + (P(AXIS), P(), P()),

@@ -117,3 +117,72 @@ def test_misaligned_capacity_warns():
     with warnings.catch_warnings():
         warnings.simplefilter("error")
         assert not dbg._pallas_eligible()
+
+
+def test_compact_rows_interpret():
+    """Stream-compaction kernel == boolean-mask compaction (in order)."""
+    import jax.numpy as jnp
+    from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+    rng = np.random.default_rng(3)
+    t_rows = 4 * pk.MTILE
+    k0 = np.sort(rng.integers(0, 2**31, size=t_rows).astype(np.uint32))
+    pay = rng.integers(0, 2**31, size=t_rows, dtype=np.uint32)
+    dead = rng.random(t_rows) < 0.7
+    # contract: channel 0 and channel C-1 are both the dead flag
+    stacked = jnp.asarray(np.stack([dead.astype(np.uint32), k0, pay,
+                                    dead.astype(np.uint32)]))
+    out, nb = pk.compact_rows(stacked, interpret=True)
+    out, nbv = np.asarray(out), int(nb)
+    assert nbv == int((~dead).sum())
+    np.testing.assert_array_equal(out[0, :nbv], np.zeros(nbv, np.uint32))
+    np.testing.assert_array_equal(out[1, :nbv], k0[~dead])
+    np.testing.assert_array_equal(out[2, :nbv], pay[~dead])
+    assert (out[:, nbv:] == 0xFFFFFFFF).all()
+
+
+def test_merge_sorted_masked_interpret():
+    """Merge-path kernel == sortedset.merge_into_masked, including a LIVE
+    all-T key (bit-identical to the sentinel when k == 16*W)."""
+    import jax.numpy as jnp
+    from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+    from bloomfiltertrie_tpu.ops import sortedset as ss
+    rng = np.random.default_rng(5)
+    w = 2
+    cap, t_rows = 4 * pk.MTILE, 2 * pk.MTILE
+    n = pk.MTILE + 421
+    tk = np.unique(rng.integers(0, 2**32 - 1, size=(n * 2, w))
+                   .astype(np.uint32), axis=0)
+    tk = tk[np.lexsort(tk.T[::-1])][: n - 1]
+    tk = np.concatenate([tk, np.full((1, w), 0xFFFFFFFF, np.uint32)])
+    table = np.full((cap, w), 0xFFFFFFFF, np.uint32)
+    table[:n] = tk
+    cref = np.where(np.arange(cap) < n, np.arange(cap) % 7, -1).astype(
+        np.int32)
+    flags = (np.arange(cap) % 4).astype(np.uint8)
+    flags[n:] = 0
+    bk = np.unique(rng.integers(0, 2**32 - 2, size=(t_rows, w))
+                   .astype(np.uint32), axis=0)
+    bk = bk[np.lexsort(bk.T[::-1])]
+    skeys = np.full((t_rows, w), 0xFFFFFFFF, np.uint32)
+    skeys[: len(bk)] = bk
+    tset = {tuple(x) for x in tk}
+    isnew = np.zeros(t_rows, bool)
+    isnew[: len(bk)] = np.array([tuple(r) not in tset for r in bk]) \
+        & (rng.random(len(bk)) < 0.5)
+    newcls = np.where(isnew, np.arange(t_rows) % 11, -1).astype(np.int32)
+
+    mk, mn, mc, mf = pk.merge_sorted_masked(
+        jnp.asarray(table), jnp.asarray(n, jnp.int32), jnp.asarray(cref),
+        jnp.asarray(flags), jnp.asarray(skeys), jnp.asarray(isnew),
+        jnp.asarray(newcls), interpret=True)
+    ek, en, (ec, ef) = ss.merge_into_masked(
+        jnp.asarray(table), jnp.asarray(n, jnp.int32), jnp.asarray(skeys),
+        jnp.asarray(isnew),
+        table_payloads=(jnp.asarray(cref), jnp.asarray(flags)),
+        new_payloads=(jnp.asarray(newcls), jnp.zeros(t_rows, jnp.uint8)))
+    assert int(mn) == int(en)
+    np.testing.assert_array_equal(np.asarray(mk), np.asarray(ek))
+    nv = int(mn)
+    np.testing.assert_array_equal(np.asarray(mc)[:nv], np.asarray(ec)[:nv])
+    np.testing.assert_array_equal(np.asarray(mf)[:nv], np.asarray(ef)[:nv])
+    assert np.asarray(mc)[nv - 1] == cref[n - 1]   # live all-T kept payload
