@@ -323,30 +323,55 @@ def _compact_kernel(offs_ref, x_hbm, out_hbm, buf, obuf, sem_i, sem_o, *,
 
 
 def _merge_kernel(asplit_ref, a_hbm, brev_hbm, out_ref, abuf, bbuf, sem_a,
-                  sem_b, *, w: int, lb: int):
+                  sem_b, *, w: int, lb: int, g: int):
     """One output tile of the merge path: window of A (ascending) ++ window
     of pre-REVERSED B (descending) is bitonic; the merge network's first
     MTILE lanes are the tile's rows.  Windows load from 128-aligned
-    offsets (dynamic HBM slice constraint) and rotate into place."""
+    offsets (dynamic HBM slice constraint) and rotate into place.
+
+    Manually DOUBLE-BUFFERED: tile t waits on copies started by tile t-1
+    and starts tile t+1's, so window DMAs overlap the merge-network
+    compute (scratch persists across the sequential grid)."""
     t = pl.program_id(0)
     wlen = MTILE + 128
+    slot = jax.lax.rem(t, 2)
+    nslot = jax.lax.rem(t + 1, 2)
+
+    def copies(tt, sl):
+        a0 = asplit_ref[tt]
+        a_al = (a0 // 128) * 128
+        b0 = tt * MTILE - a0
+        bs = lb - MTILE - b0
+        b_al = (bs // 128) * 128
+        return (pltpu.make_async_copy(a_hbm.at[:, pl.ds(a_al, wlen)],
+                                      abuf.at[sl], sem_a.at[sl]),
+                pltpu.make_async_copy(brev_hbm.at[:, pl.ds(b_al, wlen)],
+                                      bbuf.at[sl], sem_b.at[sl]))
+
+    @pl.when(t == 0)
+    def _():
+        ca, cb = copies(0, slot)
+        ca.start()
+        cb.start()
+
+    @pl.when(t + 1 < g)
+    def _():
+        ca, cb = copies(t + 1, nslot)
+        ca.start()
+        cb.start()
+
+    ca, cb = copies(t, slot)
+    ca.wait()
+    cb.wait()
     a0 = asplit_ref[t]
     a_al = (a0 // 128) * 128
-    cpa = pltpu.make_async_copy(a_hbm.at[:, pl.ds(a_al, wlen)], abuf, sem_a)
-    cpa.start()
-    # window [b0, b0+MTILE) of B, read descending from the reversed copy
     b0 = t * MTILE - a0
     bs = lb - MTILE - b0
     b_al = (bs // 128) * 128
-    cpb = pltpu.make_async_copy(brev_hbm.at[:, pl.ds(b_al, wlen)], bbuf,
-                                sem_b)
-    cpb.start()
-    cpa.wait()
-    cpb.wait()
     # rotate left by the sub-alignment delta: desired window lands at [0, MTILE)
-    a_win = pltpu.roll(abuf[:, :], (wlen - (a0 - a_al)) % wlen,
+    a_win = pltpu.roll(abuf[slot], (wlen - (a0 - a_al)) % wlen,
                        1)[:, :MTILE]
-    b_win = pltpu.roll(bbuf[:, :], (wlen - (bs - b_al)) % wlen,
+    b_win = pltpu.roll(bbuf[slot], (wlen - (bs - b_al)) % wlen,
                        1)[:, :MTILE]
     x = jnp.concatenate([a_win, b_win], axis=1)               # bitonic
     merged = _bitonic_merge_chans(x, w)
@@ -442,7 +467,7 @@ def merge_path(a_stacked: jnp.ndarray, b_stacked: jnp.ndarray,
         [b_rev, jnp.zeros((c, 128), jnp.uint32)], axis=1)
 
     out = pl.pallas_call(
-        functools.partial(_merge_kernel, w=w, lb=lb),
+        functools.partial(_merge_kernel, w=w, lb=lb, g=g),
         grid_spec=pltpu.PrefetchScalarGridSpec(
             num_scalar_prefetch=1,
             grid=(g,),
@@ -450,10 +475,10 @@ def merge_path(a_stacked: jnp.ndarray, b_stacked: jnp.ndarray,
                       pl.BlockSpec(memory_space=pltpu.HBM)],
             out_specs=pl.BlockSpec((c, MTILE), lambda t, asplit: (0, t)),
             scratch_shapes=[
-                pltpu.VMEM((c, MTILE + 128), jnp.uint32),
-                pltpu.VMEM((c, MTILE + 128), jnp.uint32),
-                pltpu.SemaphoreType.DMA,
-                pltpu.SemaphoreType.DMA,
+                pltpu.VMEM((2, c, MTILE + 128), jnp.uint32),
+                pltpu.VMEM((2, c, MTILE + 128), jnp.uint32),
+                pltpu.SemaphoreType.DMA((2,)),
+                pltpu.SemaphoreType.DMA((2,)),
             ]),
         out_shape=jax.ShapeDtypeStruct((c, g * MTILE), jnp.uint32),
         interpret=interpret,
