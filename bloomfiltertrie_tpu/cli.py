@@ -17,6 +17,12 @@ Differences from the reference, by design:
     table does not have).
   * the index file is this engine's own checkpoint format (outputs are
     compared with the reference, not index files — SURVEY §5 checkpoint note).
+  * a leading ``--shards N`` (or env ``BFT_SHARDS=N``) runs every command
+    through the prefix-sharded engine over an N-device mesh
+    (parallel/sharded.py) — build, load/-add_genomes, and all queries ride
+    shard_map + collectives; outputs are byte-identical to the
+    single-device engine.  This is the pod entry point the reference's
+    single-process CLI has no analogue for.
 """
 
 from __future__ import annotations
@@ -32,8 +38,11 @@ from bloomfiltertrie_tpu.utils import drivers
 
 USAGE = """\
 Usage:
-bft build k {kmers|kmers_comp|fastx} list_genome_files output_file [Options]
-bft load file_bft [-add_genomes {kmers|kmers_comp} list_genome_files output_file] [Options]
+bft [--shards N] build k {kmers|kmers_comp|fastx} list_genome_files output_file [Options]
+bft [--shards N] load file_bft [-add_genomes {kmers|kmers_comp} list_genome_files output_file] [Options]
+
+--shards N (or env BFT_SHARDS=N): run on the prefix-sharded engine over an
+N-device mesh (N must be a power of two and <= available devices).
 
 Options:
 [-query_sequences threshold {canonical|non_canonical} list_sequence_files]
@@ -55,8 +64,29 @@ def _err(msg: str):
     raise SystemExit(1)
 
 
+def _make_engine(shards: int, config: BFTConfig):
+    if shards <= 1:
+        return ColoredDBG(config)
+    from bloomfiltertrie_tpu.parallel.sharded import ShardedCDBG, make_mesh
+    return ShardedCDBG(config, mesh=make_mesh(shards))
+
+
+def _load_engine(shards: int, path: str):
+    if shards <= 1:
+        return ColoredDBG.load(path)
+    from bloomfiltertrie_tpu.parallel.sharded import ShardedCDBG, make_mesh
+    return ShardedCDBG.load(path, mesh=make_mesh(shards))
+
+
 def main(argv: list[str] | None = None) -> int:
+    import os
     argv = list(sys.argv[1:] if argv is None else argv)
+    shards = int(os.environ.get("BFT_SHARDS", "1"))
+    if argv and argv[0] == "--shards":
+        if len(argv) < 2:
+            _err(USAGE)
+        shards = int(argv[1])
+        argv = argv[2:]
     if not argv:
         _err(USAGE)
     if argv[0] in ("--version", "-v"):
@@ -74,7 +104,7 @@ def main(argv: list[str] | None = None) -> int:
             _err("Unrecognized type of input files.\nChoice must be 'kmers' "
                  "for k-mers files, 'kmers_comp' for compressed k-mers files "
                  "or 'fastx' for FASTA files.\n")
-        dbg = ColoredDBG(BFTConfig(k=k, treshold_compression=1))
+        dbg = _make_engine(shards, BFTConfig(k=k, treshold_compression=1))
         drivers.insert_genomes(dbg, _read_list_file(list_file), fmt)
         _print_memory(dbg)
         dbg.save(output)
@@ -82,7 +112,7 @@ def main(argv: list[str] | None = None) -> int:
     elif argv[0] == "load":
         if len(argv) < 2:
             _err(USAGE)
-        dbg = ColoredDBG.load(argv[1])
+        dbg = _load_engine(shards, argv[1])
         _print_memory(dbg)
         rest = argv[2:]
         if rest and rest[0] == "-add_genomes":

@@ -54,11 +54,13 @@ def _next_pow2(x: int) -> int:
     return 1 << max(int(x) - 1, 0).bit_length() if x > 1 else 1
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+@functools.partial(jax.jit,
+                   static_argnames=("use_pallas", "queries_sorted"))
 def _query_colors(table_keys, n, starts, color_ref, colors, queries, valid,
-                  use_pallas=False):
+                  use_pallas=False, queries_sorted=False):
     """found[M], class id[M], color bitmap uint32[M, cw]."""
-    found, idx = _lookup(table_keys, n, starts, queries, valid, use_pallas)
+    found, idx = _lookup(table_keys, n, starts, queries, valid, use_pallas,
+                         queries_sorted)
     cls = jnp.where(found, color_ref[idx], -1)
     bitmap = tbl.class_bitmap(colors, cls)
     return found, idx, cls, bitmap
@@ -80,17 +82,49 @@ def _has_genome_per_kmer(color_ref, colors, n, genome_id):
     return live & tbl.class_has_genome(colors, color_ref, genome_id)
 
 
-def _lookup(table_keys, n, starts, queries, valid, use_pallas):
+def _lookup(table_keys, n, starts, queries, valid, use_pallas,
+            queries_sorted=False):
     if use_pallas:
         from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        if queries_sorted:
+            return pk.lookup_sorted(table_keys, n, queries, valid)
         return pk.lookup_unsorted(table_keys, n, queries, valid)
     found, idx = ss.lookup(table_keys, n, queries, starts)
     return found & valid, idx
 
 
+@functools.partial(jax.jit,
+                   static_argnames=("use_pallas", "queries_sorted"))
+def _presence_only(table_keys, n, starts, queries, valid, use_pallas=False,
+                   queries_sorted=False):
+    return _lookup(table_keys, n, starts, queries, valid, use_pallas,
+                   queries_sorted)
+
+
 @functools.partial(jax.jit, static_argnames=("use_pallas",))
-def _presence_only(table_keys, n, starts, queries, valid, use_pallas=False):
-    return _lookup(table_keys, n, starts, queries, valid, use_pallas)
+def _seq_query_counts(table_keys, n, starts, color_ref, colors, packed,
+                      valid, seq_starts, seq_ends, use_pallas=False):
+    """Per-(sequence, genome) k-mer hit counts in ONE device program.
+
+    ``packed``/``valid`` hold the CONCATENATED windows of many sequences
+    (sequence s owns rows [seq_starts[s], seq_ends[s])); the counts come
+    from an exclusive cumulative sum of the per-window color bits read at
+    the segment boundaries — contiguous segments need no scatter-add.
+    Returns int32[S, cw*32].  The batched redesign of the reference's
+    per-sequence probe loop (src/bft.c:1241, src/file_io.c:1464).
+    """
+    found, idx = _lookup(table_keys, n, starts, packed, valid, use_pallas)
+    cls = jnp.where(found, color_ref[idx], -1)
+    bitmap = tbl.class_bitmap(colors, cls)          # [M, cw]
+    cw = bitmap.shape[1]
+    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :]
+    outs = []
+    for c in range(cw):
+        bits = ((bitmap[:, c: c + 1] >> shifts) & 1).astype(jnp.int32)
+        cum = jnp.concatenate(
+            [jnp.zeros((1, 32), jnp.int32), jnp.cumsum(bits, axis=0)])
+        outs.append(cum[seq_ends] - cum[seq_starts])   # [S, 32]
+    return jnp.concatenate(outs, axis=1)
 
 
 @jax.jit
@@ -99,6 +133,51 @@ def _color_counts(bitmap):
     shifts = jnp.arange(32, dtype=jnp.uint32)
     bits = (bitmap[:, :, None] >> shifts[None, None, :]) & 1
     return jnp.sum(bits.astype(jnp.int32), axis=0).reshape(-1)
+
+
+def _seq_batch_blocks(k: int, words: int, sequences, canonical: bool,
+                      max_windows: int):
+    """Host-side batching for the multi-sequence query (shared by
+    ColoredDBG and ShardedCDBG): kmerize every sequence, group into blocks
+    of <= max_windows concatenated windows, pow2-pad block shapes (bounded
+    compile count).  Yields (seq_indices, packed, valid, starts, ends,
+    nwins) per block; sequences shorter than k are skipped (their rows stay
+    all-zero, reference empty/IUPAC row semantics)."""
+
+    def finish(blk):
+        nwins = np.array([b[3] for b in blk], dtype=np.int64)
+        ends_raw = np.cumsum(nwins)
+        starts_raw = ends_raw - nwins
+        m = int(ends_raw[-1])
+        mp = _next_pow2(m)
+        packed = np.zeros((mp, words), np.uint32)
+        valid = np.zeros((mp,), bool)
+        packed[:m] = np.concatenate([b[1] for b in blk])
+        valid[:m] = np.concatenate([b[2] for b in blk])
+        s_pad = _next_pow2(len(blk))
+        starts = np.zeros((s_pad,), np.int32)
+        ends = np.zeros((s_pad,), np.int32)
+        starts[: len(blk)] = starts_raw
+        ends[: len(blk)] = ends_raw
+        return ([b[0] for b in blk], packed, valid, starts, ends, nwins)
+
+    blk = []
+    blk_rows = 0
+    for si, s in enumerate(sequences):
+        seq = s.encode() if isinstance(s, str) else s
+        nwin = len(seq) - k + 1
+        if nwin <= 0:
+            continue
+        packed, valid = codec.kmerize_sequence(seq, k)
+        if canonical:
+            packed = codec.canonical_packed(packed, k)
+        if blk and blk_rows + nwin > max_windows:
+            yield finish(blk)
+            blk, blk_rows = [], 0
+        blk.append((si, np.asarray(packed), np.asarray(valid), nwin))
+        blk_rows += nwin
+    if blk:
+        yield finish(blk)
 
 
 class BFTAnnotation:
@@ -147,6 +226,7 @@ class ColoredDBG:
         self.buf = None
         self._buf_used = 0        # host-tracked rows in use
         self._chunk = None        # append chunk row size
+        self._head_frac = None    # last flush's n_heads/used (split pick)
         self._window_start = None  # absolute gid of the window's 1st genome
         self._cur_gid = None      # open genome id (None between genomes)
         self._poisoned = False    # set if a flush contract check ever fails
@@ -297,7 +377,10 @@ class ColoredDBG:
         # Bulk fast path: a device-resident batch appends in ONE dispatch
         # (pow2-padded to bound compiles; the per-chunk loop costs one
         # dispatch per chunk — ~25 ms each over a remote device link).
-        if on_device and n_in <= self.buf.capacity:
+        # Gate on the PADDED size: capacity = pending_runs * chunk need not
+        # be a power of two, so a batch that fits pre-padding could exceed
+        # it post-padding and corrupt the dynamic_update_slice append.
+        if on_device and _next_pow2(n_in) <= self.buf.capacity:
             pad = _next_pow2(n_in) - n_in
             if pad:
                 packed = jnp.pad(packed, ((0, pad), (0, 0)))
@@ -367,12 +450,14 @@ class ColoredDBG:
     def flush(self):
         """Flush the pending window into the table (read barrier).
 
-        Two jitted stages (tbl.flush_stage_a/b) with one host sync between:
-        stage A sorts the buffer, builds per-key genome-set masks, probes
-        the table and counts the EXACT number of distinct (class, mask)
-        pairs and new keys; the host sizes the table/pools and the
-        per-class budget from those counts; stage B builds the child
-        classes, rewrites color refs and merges — one fixed cost per
+        Three jitted stages (tbl.flush_stage_a1/a2/b) with two host syncs:
+        stage A1 sorts the buffer, builds per-key genome-set masks, probes
+        the table and counts the EXACT number of distinct keys (heads) and
+        new keys; the host sizes the table and A2's compact width h from
+        those counts; stage A2 compacts the head rows to h and group-sorts
+        the distinct (class, mask) pairs — duplicate-heavy pan-genome
+        windows run the whole pair machinery at h << T; stage B builds the
+        child classes, rewrites color refs and merges — one fixed cost per
         ``genome_window`` genomes instead of per genome.
         """
         if self._poisoned:
@@ -385,25 +470,62 @@ class ColoredDBG:
             return
         cfg = self.config
         g0 = self._window_start
-        a_out = tbl.flush_stage_a(
-            self.table, self.buf,
-            jnp.asarray(self._buf_used, jnp.int32),
-            window=cfg.genome_window,
-            use_pallas=self._pallas_eligible())
-        self.buf = None  # donated to stage A
-        self._buf_used = 0
-        self._window_start = None
-        n_pairs, n_new = (int(x) for x in jax.device_get(
-            (a_out["n_pairs"], a_out["n_new"])))
+        t_rows = self.buf.capacity
+        used = self._buf_used
+        # Speculative fusion: the compaction only pays when heads (distinct
+        # keys) fill <= ~1/3 of the buffer (measured: a 0.89-ratio window
+        # lost ~0.16 s to the extra pass + dispatch).  The exact ratio is
+        # only known after stage A1, so predict from the LAST flush's
+        # observed fraction: dense (or first-flush unknown) windows take the
+        # fused single-program stage A — one dispatch, one sync, zero
+        # compaction, bit-identical to the pre-split path — and
+        # duplicate-heavy windows take the A1/A2 split.  A wrong guess
+        # costs only time for one flush, never correctness, and the
+        # fraction re-learns every flush.
+        split = (self._head_frac is not None
+                 and _next_pow2(max(int(self._head_frac * used * 1.25), 1024))
+                 <= t_rows // 2)
+        if not split:
+            a_out = tbl.flush_stage_a(
+                self.table, self.buf,
+                jnp.asarray(used, jnp.int32),
+                window=cfg.genome_window,
+                use_pallas=self._pallas_eligible())
+            self.buf = None  # donated
+            self._buf_used = 0
+            self._window_start = None
+            n_pairs, n_new, n_heads = (int(x) for x in jax.device_get(
+                (a_out["n_pairs"], a_out["n_new"], a_out["n_heads"])))
+            skeys = a_out["skeys"]
+            groups = a_out
+        else:
+            a1 = tbl.flush_stage_a1(
+                self.table, self.buf,
+                jnp.asarray(used, jnp.int32),
+                window=cfg.genome_window,
+                use_pallas=self._pallas_eligible())
+            self.buf = None  # donated to stage A1
+            self._buf_used = 0
+            self._window_start = None
+            n_heads, n_new = (int(x) for x in jax.device_get(
+                (a1["n_heads"], a1["n_new"])))
+            self._ensure_table(n_new)
+            h = min(_next_pow2(max(n_heads, 1024)), t_rows)
+            groups = tbl.flush_stage_a2(
+                self.table.color_ref, a1["keep_key"], a1["masks"],
+                a1["fidx"], h=h, use_pallas=self._pallas_eligible())
+            n_pairs = int(jax.device_get(groups["n_pairs"]))
+            skeys = a1["skeys"]
+        self._head_frac = n_heads / max(used, 1)
         self._ensure_table(n_new)
         # Each distinct (class, mask) pair spawns at most one child class,
-        # in either pool — stage A's count makes the contract exact.
+        # in either pool — the stage-A count makes the contract exact.
         self._ensure_colors(n_pairs, n_pairs)
         budget = max(1024, _next_pow2(max(n_pairs, 1)))
         self.table, self.colors, self.bloom, stats = tbl.flush_stage_b(
             self.table, self.colors, self.bloom,
-            a_out["skeys"], a_out["cls2"], a_out["mask2"], a_out["keep2"],
-            a_out["fidx2"], a_out["src2"],
+            skeys, groups["cls2"], groups["mask2"], groups["keep2"],
+            groups["fidx2"], groups["src2"],
             jnp.asarray(g0, jnp.int32),
             cfg.bloom_log2_bits,
             jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
@@ -545,6 +667,7 @@ class ColoredDBG:
         return np.asarray(found), np.asarray(bitmap)
 
     def query_kmers_device(self, packed, valid=None,
+                           queries_sorted: bool = False,
                            ) -> tuple[jnp.ndarray, jnp.ndarray]:
         """Device-resident variant of :meth:`query_kmers_packed`.
 
@@ -553,6 +676,11 @@ class ColoredDBG:
         feed further device work (set ops, counts, routing).  The
         transfer-inclusive wrapper costs ~4*cw+1 bytes/query of host
         bandwidth, which dominates end-to-end query time over slow links.
+
+        ``queries_sorted=True`` promises rows ascend (invalid rows sorted
+        to the end as sentinel) — the streaming rank kernel then runs with
+        NO M-row sort in front and NO unsort scatter behind (the common
+        bulk case: extraction-ordered, routed, or pre-sorted batches).
         """
         self.flush()
         packed = jnp.asarray(packed, dtype=jnp.uint32)
@@ -563,7 +691,8 @@ class ColoredDBG:
         found, _, _, bitmap = _query_colors(
             self.table.keys, self.table.n, self.table.bucket_starts,
             self.table.color_ref, self.colors, packed, valid,
-            use_pallas=self._pallas_eligible())
+            use_pallas=self._pallas_eligible(),
+            queries_sorted=queries_sorted)
         return found, bitmap
 
     def contains(self, kmer: str) -> bool:
@@ -693,6 +822,41 @@ class ColoredDBG:
                 break  # early abort: no remaining window changes the answer
         hits = np.nonzero(counts[:g] >= need)[0]
         return hits.astype(np.uint32)
+
+    def query_sequences_batch(self, sequences, threshold: float,
+                              canonical_search: bool | None = None,
+                              max_windows: int = 1 << 20) -> np.ndarray:
+        """Score MANY sequences in one device program per block.
+
+        Returns uint8[S, nb_genomes]: row s, genome j = 1 iff >=
+        ceil(threshold * (L_s - k + 1)) of sequence s's k-mers are present
+        with color j — identical semantics (incl. IUPAC-window and
+        empty-sequence zero rows) to per-sequence :meth:`query_sequence`,
+        but the reference's per-sequence probe loop (src/bft.c:1241,
+        src/file_io.c:1464) becomes ONE membership+color+segment-count
+        program over the concatenated windows of up to ``max_windows``
+        rows — the TPU-first shape for bulk sequence classification.
+        """
+        if not (0 < threshold <= 1):
+            raise ValueError("threshold must be in (0, 1]")
+        if canonical_search is None:
+            canonical_search = self.config.canonical
+        self.flush()
+        g = self.nb_genomes
+        rows = np.zeros((len(sequences), max(g, 1)), dtype=np.uint8)
+        for sis, packed, valid, starts, ends, nwins in _seq_batch_blocks(
+                self.k, self.config.words, sequences, canonical_search,
+                max_windows):
+            counts = np.asarray(jax.device_get(_seq_query_counts(
+                self.table.keys, self.table.n, self.table.bucket_starts,
+                self.table.color_ref, self.colors,
+                jnp.asarray(packed), jnp.asarray(valid),
+                jnp.asarray(starts), jnp.asarray(ends),
+                use_pallas=self._pallas_eligible())))
+            need = np.ceil(nwins * threshold).astype(np.int64)
+            hit = counts[: len(sis), : rows.shape[1]] >= need[:, None]
+            rows[np.asarray(sis)] = hit.astype(np.uint8)
+        return rows[:, :g] if g else rows[:, :0]
 
     # ------------------------------------------------------------------
     # graph topology (reference branchingNode.c / presenceNode.c)
@@ -1013,7 +1177,10 @@ class ColoredDBG:
         config = BFTConfig.from_dict(manifest["config"])
         self = cls(config)
         self.genome_names = list(manifest["genome_names"])
-        n, d = manifest["n"], manifest["d"]
+        # sharded checkpoints (parallel/sharded.py save) carry no "n" — the
+        # global key tensor's row count is it; either engine loads either
+        # format (the CLI's --shards flag picks the engine, not the file).
+        n, d = manifest.get("n", int(z["keys"].shape[0])), manifest["d"]
         cap = max(_next_pow2(n), config.initial_capacity)
         w = config.words
         keys = np.full((cap, w), 0xFFFFFFFF, dtype=np.uint32)
@@ -1059,7 +1226,15 @@ class ColoredDBG:
             ids=jnp.asarray(ids_full), rows=jnp.asarray(rows_full),
             sd=jnp.asarray(sd, dtype=jnp.int32),
             dd=jnp.asarray(dd, dtype=jnp.int32))
-        self.bloom = jnp.asarray(z["bloom"])
+        if "bloom" in z:
+            self.bloom = jnp.asarray(z["bloom"])
+        else:  # sharded checkpoint: the plane is layout-dependent — rebuild
+            self.bloom = bloom_ops.add(
+                bloom_ops.empty_bits(config.bloom_log2_bits), keys_d,
+                jnp.arange(cap, dtype=jnp.int32) < n_d,
+                config.bloom_log2_bits,
+                jnp.asarray(config.bloom_seed1, dtype=jnp.uint32),
+                jnp.asarray(config.bloom_seed2, dtype=jnp.uint32))
         self._n, self._sd, self._dd = n, sd, dd
         self._small_full = int(np.sum(
             (ids_p != tbl.EMPTY_ID).sum(axis=1) == s_w)) if sd else 0

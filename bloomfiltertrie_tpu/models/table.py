@@ -396,32 +396,43 @@ def _suffix_segment_or(head: jnp.ndarray, bits: tuple):
     return tuple(vals)
 
 
-def flush_stage_a_impl(table: KmerTable, buf: PendingBuffer,
-                       used: jnp.ndarray, window: int,
-                       use_pallas: bool = False):
-    """Stage A of the window flush: sort, mask-build, probe, pair-group sort.
+def flush_sort1(buf: PendingBuffer, used: jnp.ndarray, window: int):
+    """Sort 1 of the window flush: order buffer rows by (key words..., gid).
 
-    Returns a dict of T-sized arrays consumed by stage B plus two exact
-    scalars the host syncs: ``n_pairs`` (distinct (class, mask) pairs — the
-    per-class work budget and the upper bound on new classes per pool) and
-    ``n_new`` (new distinct keys — the exact table growth).
+    Invalid rows mask to sentinel keys AND gid = window, so they sort after
+    every valid row — including a genuine all-T key (sentinel bit pattern
+    when k == 16*W), whose gid is < window; validity is recovered from the
+    gid column downstream, saving a whole sort operand.
+
+    Split out of stage A so the SHARDED flush can route rows to owner
+    shards BETWEEN the local sort and the rest of stage A
+    (parallel/sharded.py — sorted order is shard order, so routing needs no
+    extra sort of its own).  Returns (skeys [T, W], sgid [T]).
     """
     t_rows, w = buf.keys.shape
-    mw = window // 32
-
-    # Sort 1: by (key words..., gid).  Invalid rows mask to sentinel keys
-    # AND gid = window, so they sort after every valid row — including a
-    # genuine all-T key (sentinel bit pattern when k == 16*W), whose gid is
-    # < window; validity is recovered from the gid column, saving a whole
-    # sort operand.
     live = buf.valid & (jnp.arange(t_rows, dtype=jnp.int32) < used)
     masked = jnp.where(live[:, None], buf.keys,
                        jnp.full_like(buf.keys, ss.SENTINEL))
     gid_m = jnp.where(live, buf.gid, window)
     out = jax.lax.sort(tuple(masked[:, i] for i in range(w)) + (gid_m,),
                        num_keys=w + 1)
-    skeys = jnp.stack(out[:w], axis=-1)
-    sgid = out[w]
+    return jnp.stack(out[:w], axis=-1), out[w]
+
+
+def flush_stage_a_sorted(table: KmerTable, skeys: jnp.ndarray,
+                         sgid: jnp.ndarray, window: int,
+                         use_pallas: bool = False):
+    """Stage A of the window flush AFTER sort 1: mask-build, probe,
+    pair-group sort.  ``skeys``/``sgid`` must be globally sorted by
+    (key, gid) with invalid rows as (sentinel, gid == window).
+
+    Returns a dict of T-sized arrays consumed by stage B plus two exact
+    scalars the host syncs: ``n_pairs`` (distinct (class, mask) pairs — the
+    per-class work budget and the upper bound on new classes per pool) and
+    ``n_new`` (new distinct keys — the exact table growth).
+    """
+    t_rows, w = skeys.shape
+    mw = window // 32
     svalid = sgid < window
     key_bound = jnp.concatenate([
         jnp.ones((1,), dtype=bool),
@@ -465,14 +476,191 @@ def flush_stage_a_impl(table: KmerTable, buf: PendingBuffer,
     keep2 = pair_neq & (cls2 != INT32_MAX)
     n_pairs = jnp.sum(keep2.astype(jnp.int32))
     n_new = jnp.sum((keep_key & ~found).astype(jnp.int32))
+    n_heads = jnp.sum(keep_key.astype(jnp.int32))
     return {"skeys": skeys, "cls2": cls2, "mask2": mask2, "keep2": keep2,
             "fidx2": fidx2, "src2": src2,
-            "n_pairs": n_pairs, "n_new": n_new}
+            "n_pairs": n_pairs, "n_new": n_new, "n_heads": n_heads}
+
+
+def flush_stage_a_impl(table: KmerTable, buf: PendingBuffer,
+                       used: jnp.ndarray, window: int,
+                       use_pallas: bool = False):
+    """Stage A of the window flush: sort 1 + mask-build, probe, pair sort."""
+    skeys, sgid = flush_sort1(buf, used, window)
+    return flush_stage_a_sorted(table, skeys, sgid, window,
+                                use_pallas=use_pallas)
 
 
 flush_stage_a = functools.partial(
     jax.jit, static_argnames=("window", "use_pallas"), donate_argnums=(1,)
 )(flush_stage_a_impl)
+
+
+# ---------------------------------------------------------------------------
+# Split stage A: A1 (mask-build + probe + exact head/new counts) then A2
+# (compact the head rows to a HOST-SIZED h, group-sort at h).
+#
+# Rationale (VERDICT r4 next #2): only the head rows — one per distinct key
+# — carry information into the pair machinery, yet the single-program stage
+# A group-sorts ALL T buffer rows with the non-heads riding along as
+# INT32_MAX.  Duplicate-heavy pan-genome windows (BASELINE config 5: ~9.4M
+# rows over ~1.6M distinct keys) pay ~6x the necessary sort-2 width, and
+# stage B then pays T-sized group broadcasts and a T-row unsort.  The split
+# syncs the exact head count after A1, compacts the heads to
+# h = next_pow2(n_heads) rows (Pallas stream compaction at bandwidth on
+# TPU), and everything downstream of the compaction runs at h.
+# ---------------------------------------------------------------------------
+
+def flush_stage_a1_sorted(table: KmerTable, skeys: jnp.ndarray,
+                          sgid: jnp.ndarray, window: int,
+                          use_pallas: bool = False):
+    """Mask-build + probe over the sorted rows; exact counts for the host.
+
+    Returns T-sized per-row columns consumed by stage A2 (``keep_key``,
+    ``masks`` [T, mw], ``fidx``) plus ``skeys`` (stage B's merge input) and
+    two scalars to sync: ``n_heads`` (distinct keys — sizes A2's compact
+    arrays) and ``n_new`` (new distinct keys — exact table growth).
+    """
+    t_rows, w = skeys.shape
+    mw = window // 32
+    svalid = sgid < window
+    key_bound = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        ~ss.mw_equal(skeys[1:], skeys[:-1])])
+    keep_key = key_bound & svalid
+    pair_bound = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        key_bound[1:] | (sgid[1:] != sgid[:-1])])
+    keep_pair = pair_bound & svalid
+    bits = tuple(
+        jnp.where(keep_pair & ((sgid >> 5) == j),
+                  jnp.uint32(1) << (sgid & 31).astype(jnp.uint32),
+                  jnp.uint32(0))
+        for j in range(mw))
+    masks = _suffix_segment_or(keep_key, bits)
+    found, idx = _probe_main(table, skeys, svalid, use_pallas)
+    found = found & keep_key
+    fidx = idx.astype(jnp.uint32) | (found.astype(jnp.uint32) << 31)
+    mask_h = jnp.stack(
+        [jnp.where(keep_key, mj, jnp.uint32(0)) for mj in masks], axis=-1)
+    n_heads = jnp.sum(keep_key.astype(jnp.int32))
+    n_new = jnp.sum((keep_key & ~found).astype(jnp.int32))
+    return {"skeys": skeys, "keep_key": keep_key, "masks": mask_h,
+            "fidx": fidx, "n_heads": n_heads, "n_new": n_new}
+
+
+def flush_stage_a1_impl(table: KmerTable, buf: PendingBuffer,
+                        used: jnp.ndarray, window: int,
+                        use_pallas: bool = False):
+    skeys, sgid = flush_sort1(buf, used, window)
+    return flush_stage_a1_sorted(table, skeys, sgid, window,
+                                 use_pallas=use_pallas)
+
+
+flush_stage_a1 = functools.partial(
+    jax.jit, static_argnames=("window", "use_pallas"), donate_argnums=(1,)
+)(flush_stage_a1_impl)
+
+
+def flush_stage_a1_masked(table: KmerTable, skeys: jnp.ndarray,
+                          masks: jnp.ndarray, valid: jnp.ndarray,
+                          use_pallas: bool = False):
+    """Stage A1 for rows that ALREADY carry their window-genome masks.
+
+    The device-side index merge (models/merge.py merge_into_sharded) feeds
+    b's DISTINCT sorted keys with masks computed straight from b's color
+    classes — no (k-mer, genome) pair expansion ever exists, on host or
+    device (VERDICT r4 #6).  ``skeys`` must be sorted with invalid rows as
+    sentinel at the end; keys unique among valid rows.  Rows whose mask is
+    all-zero carry no window genome and drop out (their genomes live in
+    another window).  Returns the same dict as flush_stage_a1_sorted.
+    """
+    svalid = valid & jnp.any(masks != 0, axis=-1)
+    found, idx = _probe_main(table, skeys, valid, use_pallas)
+    found = found & svalid
+    fidx = idx.astype(jnp.uint32) | (found.astype(jnp.uint32) << 31)
+    mask_h = jnp.where(svalid[:, None], masks, jnp.uint32(0))
+    n_heads = jnp.sum(svalid.astype(jnp.int32))
+    n_new = jnp.sum((svalid & ~found).astype(jnp.int32))
+    return {"skeys": skeys, "keep_key": svalid, "masks": mask_h,
+            "fidx": fidx, "n_heads": n_heads, "n_new": n_new}
+
+
+def flush_stage_a2_impl(color_ref: jnp.ndarray, keep_key: jnp.ndarray,
+                        masks: jnp.ndarray, fidx: jnp.ndarray,
+                        h: int, use_pallas: bool = False):
+    """Compact the head rows to ``h`` slots and group-sort by (class, mask).
+
+    Caller contract: ``h`` >= the n_heads scalar A1 reported (heads past
+    ``h`` would be silently dropped).  When ``h == t_rows`` the compaction
+    is skipped entirely and the group sort runs over all rows with
+    non-heads riding as INT32_MAX — bit-identical to the fused stage A (the
+    right call for low-duplication windows, where compaction buys nothing).
+    Returns h-sized group arrays for stage B plus the exact ``n_pairs``.
+    """
+    t_rows, mw = masks.shape
+    cap = color_ref.shape[0]
+    if h >= t_rows:
+        h = t_rows
+        live_c = keep_key
+        mask_c = masks
+        fidx_c = fidx
+        src_c = jnp.arange(t_rows, dtype=jnp.int32)
+    else:
+        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        if use_pallas and t_rows % pk.MTILE == 0:
+            dead = (~keep_key).astype(jnp.uint32)
+            core = jnp.concatenate([
+                dead[None],
+                masks.T,
+                fidx[None],
+                jnp.arange(t_rows, dtype=jnp.int32).astype(jnp.uint32)[None],
+            ], axis=0)
+            c_c = pk._tile_channels(mw + 4)
+            stacked = jnp.concatenate(
+                [pk._pad_channels(core, c_c - 1), dead[None]], axis=0)
+            out, _ = pk.compact_rows(stacked)
+            live_c = out[0, :h] == 0
+            mask_c = out[1:1 + mw, :h].T
+            fidx_c = out[1 + mw, :h]
+            src_c = jnp.where(live_c, out[2 + mw, :h].astype(jnp.int32),
+                              t_rows)
+        else:
+            run = jnp.cumsum(keep_key.astype(jnp.int32)) - 1
+            dest = jnp.where(keep_key, run, h)
+            mask_c = jnp.zeros((h, mw), jnp.uint32).at[dest].set(
+                masks, mode="drop")
+            fidx_c = jnp.full((h,), 0xFFFFFFFF, jnp.uint32).at[dest].set(
+                fidx, mode="drop")
+            src_c = jnp.full((h,), t_rows, jnp.int32).at[dest].set(
+                jnp.arange(t_rows, dtype=jnp.int32), mode="drop")
+            live_c = jnp.zeros((h,), bool).at[dest].set(True, mode="drop")
+    found_c = live_c & ((fidx_c >> 31) == 1)
+    idx_c = jnp.minimum((fidx_c & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32),
+                        cap - 1)
+    cls_c = jnp.where(live_c,
+                      jnp.where(found_c, color_ref[idx_c], -1),
+                      INT32_MAX)
+    mask_cc = jnp.where(live_c[:, None], mask_c, jnp.uint32(0))
+    out2 = jax.lax.sort(
+        (cls_c,) + tuple(mask_cc[:, j] for j in range(mw))
+        + (fidx_c, src_c), num_keys=1 + mw)
+    cls2 = out2[0]
+    mask2 = jnp.stack(out2[1:1 + mw], axis=-1)
+    fidx2 = out2[1 + mw]
+    src2 = out2[2 + mw]
+    pair_neq = jnp.concatenate([
+        jnp.ones((1,), dtype=bool),
+        (cls2[1:] != cls2[:-1]) | jnp.any(mask2[1:] != mask2[:-1], axis=-1)])
+    keep2 = pair_neq & (cls2 != INT32_MAX)
+    n_pairs = jnp.sum(keep2.astype(jnp.int32))
+    return {"cls2": cls2, "mask2": mask2, "keep2": keep2,
+            "fidx2": fidx2, "src2": src2, "n_pairs": n_pairs}
+
+
+flush_stage_a2 = functools.partial(
+    jax.jit, static_argnames=("h", "use_pallas"), donate_argnums=(1, 2, 3)
+)(flush_stage_a2_impl)
 
 
 def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
@@ -487,8 +675,14 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
     ``g0``: absolute genome id of the window's first genome (mask bit b =
     genome g0+b).  Caller contract (exact, from stage A's scalars): table has
     >= n_new free rows; each pool has >= n_pairs free rows; budget >= n_pairs.
+
+    ``cls2``/``mask2``/``keep2``/``fidx2``/``src2`` may be h-sized for any
+    h <= T (stage A2's compacted head rows, ``src2`` = row in sort-1 order):
+    all group work then runs at h, and the new-row class ids land back in
+    sort-1 order through an h-sized scatter instead of a T-row sort.
     """
     t_rows = skeys.shape[0]
+    h = cls2.shape[0]
     mw = window // 32
     a = budget
     s_w = colors.small_width
@@ -502,14 +696,14 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
     idx2 = (fidx2 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
     # ---- compact distinct (class, mask) pairs into [a] ----
-    # ONE T-sized scatter (head positions); every per-pair column then
-    # arrives via an a-sized gather — T-sized scatters are latency-bound
+    # ONE h-sized scatter (head positions); every per-pair column then
+    # arrives via an a-sized gather — big scatters are latency-bound
     # (~0.5-1 GB/s), so collapsing 1+mw of them to 1 is a direct win
     # (scripts/profile_window_flush.py).
     run2 = jnp.cumsum(keep2.astype(jnp.int32)) - 1
     dest = jnp.where(keep2, run2, a)
-    pos2 = jnp.arange(t_rows, dtype=jnp.int32)
-    hpos = jnp.full((a,), t_rows - 1, dtype=jnp.int32).at[dest].set(
+    pos2 = jnp.arange(h, dtype=jnp.int32)
+    hpos = jnp.full((a,), h - 1, dtype=jnp.int32).at[dest].set(
         pos2, mode="drop")
     u_live_row = jnp.arange(a, dtype=jnp.int32) < jnp.sum(
         keep2.astype(jnp.int32))
@@ -642,8 +836,8 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
         prev = jnp.concatenate([jnp.zeros((1,), vals.dtype), vals[:-1]])
         delta = vals - prev
         live_a = jnp.arange(a, dtype=jnp.int32) < n_pairs_d
-        d = jnp.zeros((t_rows,), vals.dtype).at[
-            jnp.where(live_a, hpos, t_rows)].add(delta, mode="drop")
+        d = jnp.zeros((h,), vals.dtype).at[
+            jnp.where(live_a, hpos, h)].add(delta, mode="drop")
         return jnp.cumsum(d)
 
     per_row = bcast_groups(new_id)
@@ -658,11 +852,17 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
         jnp.where(changed2, idx2, table.capacity)].set(per_row, mode="drop")
 
     # NEW rows: their class id must align with skeys (sort-1 order) for the
-    # merge payload — one slim 2-payload permutation sort (bandwidth-bound;
-    # cheaper than a T-sized scatter by src2).
-    newcls2 = jnp.where(isnew2, per_row, -1)
-    out3 = jax.lax.sort((src2, newcls2), num_keys=1)
-    newcls1 = out3[1]
+    # merge payload.  Compacted inputs (h < T): one h-sized scatter through
+    # src2.  Full-width inputs (h == T, src2 a permutation): a slim
+    # 2-payload permutation sort — bandwidth-bound, cheaper than a T-sized
+    # random scatter.
+    if h < t_rows:
+        newcls1 = jnp.full((t_rows,), -1, jnp.int32).at[
+            jnp.where(isnew2, src2, t_rows)].set(per_row, mode="drop")
+    else:
+        newcls2 = jnp.where(isnew2, per_row, -1)
+        out3 = jax.lax.sort((src2, newcls2), num_keys=1)
+        newcls1 = out3[1]
     isnew1 = newcls1 >= 0
 
     from bloomfiltertrie_tpu.ops import pallas_kernels as pk

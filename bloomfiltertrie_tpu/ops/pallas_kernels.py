@@ -166,6 +166,21 @@ def supported(table_keys, queries) -> bool:
 
 
 @jax.jit
+def lookup_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
+                  queries: jnp.ndarray, valid: jnp.ndarray):
+    """Membership of an ALREADY-SORTED query batch: the streaming rank
+    kernel alone — no M-row sort in front, no unsort scatter behind
+    (VERDICT r4 #5; the common bulk case: extraction-ordered, routed, or
+    pre-sorted batches).  Caller contract: rows ascend with invalid rows
+    as sentinel at the end (i.e. sorted by ``where(valid, q, SENTINEL)``).
+    Returns (found bool[M], clamped idx int32[M]) like ``lookup_unsorted``.
+    """
+    cap = table_keys.shape[0]
+    found, rank = rank_sorted(table_keys, n, queries, valid)
+    return found, jnp.minimum(rank, cap - 1)
+
+
+@jax.jit
 def lookup_unsorted(table_keys: jnp.ndarray, n: jnp.ndarray,
                     queries: jnp.ndarray, valid: jnp.ndarray):
     """Arbitrary-order membership via sort -> rank kernel -> unsort.
@@ -435,6 +450,24 @@ def merge_path(a_stacked: jnp.ndarray, b_stacked: jnp.ndarray,
     c, la = a_stacked.shape
     lb = b_stacked.shape[1]
     g = out_tiles
+    # Padding preconditions: the split search clamps hi to la - MTILE - 128
+    # and the B windows read MTILE+128 rows around any split of the REVERSED
+    # array — both assume the caller padded sentinel past the live rows
+    # (merge_sorted_masked pads MTILE+256).  The A-side bound is static:
+    # fail loudly at trace time.  The B-side bound depends on the TRACED
+    # ``nb``, so it cannot raise at trace time; instead ``nb`` is clamped to
+    # the provable safe bound lb - MTILE - 256 — an honest caller is
+    # unaffected (merge_sorted_masked has nb <= lb - MTILE - 256 by
+    # construction) and a thin-padded caller can no longer read out of
+    # bounds or mis-split.
+    if la < g * MTILE + MTILE + 128:
+        raise ValueError(
+            f"merge_path: A too thin ({la} cols; need >= "
+            f"{g * MTILE + MTILE + 128} = out_tiles*MTILE + MTILE + 128)")
+    if lb < MTILE + 256:
+        raise ValueError(
+            f"merge_path: B too thin ({lb} cols; need >= {MTILE + 256})")
+    nb = jnp.minimum(jnp.asarray(nb, jnp.int32), lb - MTILE - 256)
     o = jnp.arange(g, dtype=jnp.int32) * MTILE
     lo = jnp.maximum(0, o - nb)
     # clamp so the 128-aligned-down window never reads past the padding

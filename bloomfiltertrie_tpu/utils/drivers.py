@@ -182,18 +182,26 @@ def query_branching(dbg: ColoredDBG, query_path: str, compressed: bool) -> int:
 def query_sequences_csv(dbg: ColoredDBG, seq_path: str, threshold: float,
                         canonical: bool, output_path: str):
     """Reference ``query_sequences_outputCSV`` (file_io.c:1464): one sequence
-    per line; row j = 1 iff genome j passes the k-mer count threshold."""
-    rows = []
+    per line; row j = 1 iff genome j passes the k-mer count threshold.
+
+    Scores ALL sequences through the batched device program
+    (``query_sequences_batch``) — one membership+color+segment-count
+    dispatch per ~1M concatenated windows instead of the reference's
+    per-sequence loop; output bytes identical."""
     with open(seq_path, "rb") as f:
-        for line in f:
-            seq = line.rstrip(b"\r\n")
+        seqs = [line.rstrip(b"\r\n") for line in f]
+    if seqs and hasattr(dbg, "query_sequences_batch"):
+        rows = dbg.query_sequences_batch(seqs, threshold, canonical)
+    else:
+        out = []
+        for seq in seqs:
             row = np.zeros((dbg.nb_genomes,), dtype=np.uint8)
             if seq:
                 hits = dbg.query_sequence(seq, threshold, canonical)
                 row[hits] = 1
-            rows.append(row)
-    rows = (np.stack(rows) if rows
-            else np.zeros((0, dbg.nb_genomes), dtype=np.uint8))
+            out.append(row)
+        rows = (np.stack(out) if out
+                else np.zeros((0, dbg.nb_genomes), dtype=np.uint8))
     _write_csv(output_path, dbg.genome_names, rows)
 
 

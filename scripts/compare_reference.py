@@ -16,8 +16,16 @@ Checks (BASELINE.json's bit-for-bit contract):
   * -query_sequences CSV: byte-for-byte equality.
 Also records both sides' wall times for BASELINE.md.
 
-Usage: python scripts/compare_reference.py [ref_binary]
-Prerequisite: run scripts/oracle_scale_run.py first (builds the datasets).
+The sharded row: config 4 additionally re-runs OUR side through the
+``--shards 8`` CLI on the virtual 8-device CPU mesh, binding "sharded
+engine" and "byte-equal vs the reference binary" together (VERDICT r4 #3).
+
+Usage: python scripts/compare_reference.py [--quick] [ref_binary]
+  --quick: generate SMALL datasets inline (seconds per config instead of
+           minutes; same four configs, same byte-equality assertions) —
+           the cheap equality profile for routine reruns; the full-size
+           datasets (scripts/oracle_scale_run.py first) remain the round-
+           boundary evidence.  Used in-suite by tests/test_compare_quick.py.
 """
 
 import json
@@ -28,11 +36,21 @@ import time
 
 sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
+# 8 virtual CPU devices BEFORE jax import: the sharded config-4 row runs
+# our CLI over an 8-shard mesh.
+_flags = os.environ.get("XLA_FLAGS", "")
+if "xla_force_host_platform_device_count" not in _flags:
+    os.environ["XLA_FLAGS"] = (
+        _flags + " --xla_force_host_platform_device_count=8").strip()
+os.environ["JAX_PLATFORMS"] = "cpu"
+
 import jax  # noqa: E402
 jax.config.update("jax_platforms", "cpu")
 
-BASE = "/tmp/bft_oracle_scale"
-REF = sys.argv[1] if len(sys.argv) > 1 else "/tmp/refbuild/bft"
+QUICK = "--quick" in sys.argv[1:]
+_pos = [a for a in sys.argv[1:] if not a.startswith("--")]
+BASE = "/tmp/bft_quick" if QUICK else "/tmp/bft_oracle_scale"
+REF = _pos[0] if _pos else "/tmp/refbuild/bft"
 K = "27"
 
 if not os.path.exists(REF):
@@ -171,6 +189,121 @@ def compare_config4():
         "seq_csv_byte_equal": ref_csv == our_csv,
     }), flush=True)
     assert ref_csv == our_csv
+
+
+def compare_config4_sharded():
+    """Config 4 through the ``--shards 8`` CLI: the sharded engine's CSV
+    must be byte-equal to the reference binary's (uses the ref CSV that
+    compare_config4 just produced — run after it)."""
+    d = os.path.join(BASE, "c4")
+    lst = os.path.join(d, "list.txt")
+    slist = os.path.join(d, "slist.txt")
+    spath = open(slist).read().strip()
+    ref_csv = open(os.path.join(d, csv_of(spath)) + ".ref4", "rb").read()
+
+    t_ours, _ = run_ours(["--shards", "8", "build", K, "kmers", lst,
+                          os.path.join(d, "our_idx_sh"),
+                          "-query_sequences", "0.8", "canonical", slist])
+    our_csv = open(spath + ".query_sequences.out", "rb").read()
+    print(json.dumps({
+        "config": 4, "engine": "sharded", "shards": 8,
+        "ours_s": round(t_ours, 1),
+        "seq_csv_byte_equal": ref_csv == our_csv,
+    }), flush=True)
+    assert ref_csv == our_csv
+
+
+def quick_gen():
+    """Tiny in-line datasets for --quick: same four configs and file
+    layouts as scripts/oracle_scale_run.py, sized so each head-to-head
+    costs seconds on the CPU correctness vehicle."""
+    import numpy as np
+    k = int(K)
+    rng = np.random.default_rng(12)
+
+    def to_ascii(codes):
+        return np.array([65, 67, 71, 84], np.uint8)[codes].tobytes()
+
+    def mutate(seq, rate):
+        out = seq.copy()
+        n_mut = max(int(len(seq) * rate), 1)
+        pos = rng.choice(len(seq), size=n_mut, replace=False)
+        out[pos] = (out[pos] + rng.integers(1, 4, size=n_mut)) % 4
+        return out
+
+    def write_kmers(path, codes):
+        s = to_ascii(codes).decode()
+        kms = [s[i:i + k] for i in range(len(s) - k + 1)]
+        open(path, "w").write("\n".join(kms) + "\n")
+        return kms
+
+    # c1: one 60 kbp genome, build + extract (our side runs here so
+    # compare_config1 finds ext.kmers as in the full flow)
+    d1 = os.path.join(BASE, "c1")
+    os.makedirs(d1, exist_ok=True)
+    g = rng.integers(0, 4, size=60_000, dtype=np.uint8)
+    write_kmers(os.path.join(d1, "g0.kmers"), g)
+    open(os.path.join(d1, "list.txt"), "w").write(
+        os.path.join(d1, "g0.kmers") + "\n")
+    run_ours(["build", K, "kmers", os.path.join(d1, "list.txt"),
+              os.path.join(d1, "our_idx"),
+              "-extract_kmers", "kmers", os.path.join(d1, "ext.kmers")])
+
+    # c2: 3 strains of a 20 kbp base + 1.5k queries (half misses)
+    d2 = os.path.join(BASE, "c2")
+    os.makedirs(d2, exist_ok=True)
+    base = rng.integers(0, 4, size=20_000, dtype=np.uint8)
+    paths = []
+    allq = []
+    for i in range(3):
+        p = os.path.join(d2, f"s{i}.kmers")
+        allq += write_kmers(p, mutate(base, 0.01))[::20]
+        paths.append(p)
+    open(os.path.join(d2, "list.txt"), "w").write("\n".join(paths) + "\n")
+    misses = ["".join("ACGT"[c] for c in rng.integers(0, 4, size=k))
+              for _ in range(len(allq))]
+    open(os.path.join(d2, "queries.kmers"), "w").write(
+        "\n".join(allq + misses) + "\n")
+    open(os.path.join(d2, "qlist.txt"), "w").write(
+        os.path.join(d2, "queries.kmers") + "\n")
+
+    # c3: build 4 + add 2 (10 kbp strains), 800 queries
+    d3 = os.path.join(BASE, "c3")
+    os.makedirs(d3, exist_ok=True)
+    base3 = rng.integers(0, 4, size=10_000, dtype=np.uint8)
+    p10, p5, qs = [], [], []
+    for i in range(6):
+        p = os.path.join(d3, f"s{i}.kmers")
+        qs += write_kmers(p, mutate(base3, 0.02))[::15]
+        (p10 if i < 4 else p5).append(p)
+    open(os.path.join(d3, "l10.txt"), "w").write("\n".join(p10) + "\n")
+    open(os.path.join(d3, "l5.txt"), "w").write("\n".join(p5) + "\n")
+    open(os.path.join(d3, "queries.kmers"), "w").write("\n".join(qs) + "\n")
+    open(os.path.join(d3, "qlist.txt"), "w").write(
+        os.path.join(d3, "queries.kmers") + "\n")
+
+    # c4: 12 genomes (8 kbp), 8 query sequences incl. revcomp + random
+    d4 = os.path.join(BASE, "c4")
+    os.makedirs(d4, exist_ok=True)
+    base4 = rng.integers(0, 4, size=8_000, dtype=np.uint8)
+    paths4 = []
+    for i in range(12):
+        p = os.path.join(d4, f"g{i:02d}.kmers")
+        write_kmers(p, mutate(base4, 0.005 * (1 + i % 5)))
+        paths4.append(p)
+    open(os.path.join(d4, "list.txt"), "w").write("\n".join(paths4) + "\n")
+    seqs = []
+    for i in range(8):
+        s = to_ascii(mutate(base4[:1500], 0.002)).decode()
+        if i % 3 == 1:
+            s = s[::-1].translate({65: 84, 67: 71, 71: 67, 84: 65})
+        if i % 3 == 2:
+            s = to_ascii(rng.integers(0, 4, size=900, dtype=np.uint8)
+                         ).decode()
+        seqs.append(s)
+    spath = os.path.join(d4, "seqs.txt")
+    open(spath, "w").write("\n".join(seqs) + "\n")
+    open(os.path.join(d4, "slist.txt"), "w").write(spath + "\n")
 
 
 def compare_config1():

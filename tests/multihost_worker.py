@@ -148,6 +148,17 @@ def main():
                if (ba[i, g >> 5] >> np.uint32(g & 31)) & 1}
         assert got == oracle.colors(km), km
 
+    # Host-assembly APIs on the REAL multi-process mesh (VERDICT r4 #8):
+    # extraction and unitig assembly must work even though remote shards
+    # are non-addressable — _host_view's replicated gather makes every
+    # process able to assemble the full result.
+    ext = a.extract_kmers_packed()
+    np.testing.assert_array_equal(ext, all_sorted)
+    unis = a.extract_unitigs()
+    covered = [u[i:i + k] for u in unis for i in range(len(u) - k + 1)]
+    assert set(covered) == oracle.all_kmers()
+    assert len(covered) == len(set(covered))
+
     print(f"process {pid}: all multihost asserts passed", flush=True)
 
 

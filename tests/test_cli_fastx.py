@@ -132,3 +132,67 @@ def test_threaded_fastx_equals_serial(tmp_path):
                             threads=7).read_all()
             np.testing.assert_array_equal(s[0], t[0])
             np.testing.assert_array_equal(s[1], t[1])
+
+
+def test_cli_sharded_build_query_byte_equal(tmp_path):
+    """--shards N: the pod CLI path (VERDICT r4 #3).  Build + every query
+    option through ShardedCDBG on the virtual mesh must produce
+    byte-identical outputs to the single-device engine, and the two
+    checkpoint formats must cross-load."""
+    rng = np.random.default_rng(83)
+    k = 27
+    genomes = []
+    base = "".join(rng.choice(list("ACGT"), size=500))
+    for g in range(3):
+        mut = list(base)
+        for p in rng.integers(0, len(base), 12):
+            mut[p] = "ACGT"[rng.integers(0, 4)]
+        genomes.append("".join(mut))
+    paths = []
+    for g, seq in enumerate(genomes):
+        p = tmp_path / f"g{g}.kmers"
+        kms = [seq[i:i + k] for i in range(len(seq) - k + 1)]
+        p.write_text("\n".join(kms) + "\n")
+        paths.append(str(p))
+    lst = tmp_path / "list.txt"
+    lst.write_text("\n".join(paths) + "\n")
+    qpath = tmp_path / "q.kmers"
+    qkms = [genomes[0][i:i + k] for i in range(0, 100, 3)] + \
+           ["".join(rng.choice(list("ACGT"), size=k)) for _ in range(40)]
+    qpath.write_text("\n".join(qkms) + "\n")
+    qlist = tmp_path / "qlist.txt"
+    qlist.write_text(str(qpath) + "\n")
+    spath = tmp_path / "s.txt"
+    spath.write_text(genomes[1][40:200] + "\n" + genomes[2][:90] + "\n")
+    slist = tmp_path / "slist.txt"
+    slist.write_text(str(spath) + "\n")
+
+    def run(shards, tag):
+        out = tmp_path / f"idx_{tag}"
+        args = ["build", str(k), "kmers", str(lst), str(out),
+                "-query_kmers", "kmers", str(qlist),
+                "-query_sequences", "0.8", "canonical", str(slist),
+                "-extract_kmers", "kmers", str(tmp_path / f"ext_{tag}")]
+        if shards > 1:
+            args = ["--shards", str(shards)] + args
+        assert cli.main(args) == 0
+        res = {
+            "qcsv": (tmp_path / "q.kmers.query_kmers.out").read_bytes(),
+            "scsv": (tmp_path / "s.txt.query_sequences.out").read_bytes(),
+            "ext": set((tmp_path / f"ext_{tag}").read_text().split()),
+        }
+        return out, res
+
+    out1, r1 = run(1, "single")
+    out4, r4 = run(4, "sharded")
+    assert r1["qcsv"] == r4["qcsv"]
+    assert r1["scsv"] == r4["scsv"]
+    assert r1["ext"] == r4["ext"]
+
+    # cross-load: single engine reads the sharded checkpoint and vice versa
+    from bloomfiltertrie_tpu.parallel.sharded import ShardedCDBG, make_mesh
+    single_of_sharded = ColoredDBG.load(str(out4) + ".npz")
+    sharded_of_single = ShardedCDBG.load(str(out1) + ".npz",
+                                         mesh=make_mesh(2))
+    assert set(single_of_sharded.extract_kmer_strings()) == r1["ext"]
+    assert set(sharded_of_single.extract_kmer_strings()) == r1["ext"]

@@ -186,3 +186,89 @@ def test_merge_sorted_masked_interpret():
     np.testing.assert_array_equal(np.asarray(mc)[:nv], np.asarray(ec)[:nv])
     np.testing.assert_array_equal(np.asarray(mf)[:nv], np.asarray(ef)[:nv])
     assert np.asarray(mc)[nv - 1] == cref[n - 1]   # live all-T kept payload
+
+
+def test_lookup_sorted_interpret(monkeypatch):
+    """Sorted-batch fast path == lookup_unsorted on a pre-sorted batch."""
+    rng = np.random.default_rng(11)
+    w = 2
+    cap = pk.TILE * 2
+    table, n = make_table(rng, cap, cap // 3, w)
+    m = 768
+    q = np.concatenate([
+        table[rng.integers(0, n, 300)],
+        rng.integers(0, 1 << 20, size=(m - 300, w), dtype=np.uint32)
+        .astype(np.uint32)])
+    valid = rng.random(m) < 0.9
+    # contract: sorted by where(valid, q, SENTINEL) — invalid last
+    q[~valid] = 0xFFFFFFFF
+    q = q[np.lexsort(tuple(q[:, i] for i in reversed(range(w))))]
+    valid = np.sort(valid)[::-1].copy()
+
+    real = pk.rank_sorted
+    monkeypatch.setattr(
+        pk, "rank_sorted",
+        lambda tk, nn, qq, vv, interpret=False: real(tk, nn, qq, vv,
+                                                     interpret=True))
+    f_s, i_s = pk.lookup_sorted(jnp.asarray(table), jnp.asarray(n),
+                                jnp.asarray(q), jnp.asarray(valid))
+    f_u, i_u = pk.lookup_unsorted(jnp.asarray(table), jnp.asarray(n),
+                                  jnp.asarray(q), jnp.asarray(valid))
+    np.testing.assert_array_equal(np.asarray(f_s), np.asarray(f_u))
+    fm = np.asarray(f_s)
+    np.testing.assert_array_equal(np.asarray(i_s)[fm], np.asarray(i_u)[fm])
+
+
+def test_flush_stage_a2_compact_paths(monkeypatch):
+    """Stage A2's Pallas head compaction == the XLA scatter path == the
+    fused (h == T) path, on synthetic head/mask/fidx columns."""
+    from bloomfiltertrie_tpu.models import table as tbl
+    rng = np.random.default_rng(7)
+    t_rows = 2 * pk.MTILE
+    mw = 2
+    cap = 1 << 12
+    keep = rng.random(t_rows) < 0.2
+    masks = rng.integers(0, 2**32, size=(t_rows, mw), dtype=np.uint32)
+    masks[~keep] = 0
+    idx = rng.integers(0, cap - 1, size=t_rows).astype(np.uint32)
+    found = (rng.random(t_rows) < 0.5) & keep
+    fidx = idx | (found.astype(np.uint32) << 31)
+    cref = rng.integers(0, 50, size=cap).astype(np.int32)
+
+    n_heads = int(keep.sum())
+    h = 1 << (n_heads - 1).bit_length()
+    assert h < t_rows
+
+    a_xla = tbl.flush_stage_a2_impl(
+        jnp.asarray(cref), jnp.asarray(keep), jnp.asarray(masks),
+        jnp.asarray(fidx), h=h, use_pallas=False)
+
+    real = pk.compact_rows
+    monkeypatch.setattr(pk, "compact_rows",
+                        lambda st, interpret=False: real(st, interpret=True))
+    a_pl = tbl.flush_stage_a2_impl(
+        jnp.asarray(cref), jnp.asarray(keep), jnp.asarray(masks),
+        jnp.asarray(fidx), h=h, use_pallas=True)
+
+    a_full = tbl.flush_stage_a2_impl(
+        jnp.asarray(cref), jnp.asarray(keep), jnp.asarray(masks),
+        jnp.asarray(fidx), h=t_rows, use_pallas=False)
+
+    np_pairs = int(np.asarray(a_xla["n_pairs"]))
+    assert np_pairs == int(np.asarray(a_pl["n_pairs"]))
+    assert np_pairs == int(np.asarray(a_full["n_pairs"]))
+
+    def live_rows(a, size):
+        keep2 = np.asarray(a["keep2"])
+        cls2 = np.asarray(a["cls2"])
+        live = cls2 != np.int32(2**31 - 1)
+        rows = set()
+        for i in range(size):
+            if live[i]:
+                rows.add((cls2[i], tuple(np.asarray(a["mask2"])[i]),
+                          int(np.asarray(a["fidx2"])[i]),
+                          int(np.asarray(a["src2"])[i]), bool(keep2[i])))
+        return rows
+
+    assert live_rows(a_xla, h) == live_rows(a_pl, h)
+    assert live_rows(a_xla, h) == live_rows(a_full, t_rows)

@@ -343,3 +343,86 @@ def test_distributed_graph_algorithms_vs_single():
     u_sharded = sorted(sharded.extract_unitigs())
     assert u_single == u_sharded
     assert len(u_single) > 3
+
+
+def test_sharded_query_sequences_batch(built):
+    """Sharded batched multi-sequence scorer agrees with the oracle."""
+    dbg, oracle, genomes = built
+    rng = np.random.default_rng(33)
+    seqs = [genomes["g0"][10:80],
+            genomes["g1"][40:110] + "N" + genomes["g1"][110:140],
+            random_genome(rng, 64),
+            ""]
+    for thr in (0.5, 1.0):
+        rows = dbg.query_sequences_batch(seqs, thr, False)
+        assert rows.shape == (len(seqs), dbg.nb_genomes)
+        for i, seq in enumerate(seqs):
+            want = np.zeros((dbg.nb_genomes,), np.uint8)
+            want[dbg.query_sequence(seq, thr, False)] = 1
+            assert (rows[i] == want).all(), (i, thr)
+
+
+def test_sharded_neighbors_with_colors(built):
+    """Sharded parity with ColoredDBG.neighbors_with_colors_packed
+    (reference src/bft.c:804 + src/branchingNode.c:112)."""
+    dbg, oracle, _ = built
+    kms = sorted(oracle.all_kmers())[:30]
+    packed, valid = codec.encode_strings(kms, dbg.k)
+    out = dbg.neighbors_with_colors_packed(packed, np.asarray(valid))
+    for i, km in enumerate(kms):
+        succ = {codec.decode_strings(out["succ"]["packed"][i, b:b+1],
+                                     dbg.k)[0]
+                for b in range(4) if out["succ"]["found"][i, b]}
+        assert succ == set(oracle.successors(km)), km
+        pred = {codec.decode_strings(out["pred"]["packed"][i, b:b+1],
+                                     dbg.k)[0]
+                for b in range(4) if out["pred"]["found"][i, b]}
+        assert pred == set(oracle.predecessors(km)), km
+        for b in range(4):
+            if out["succ"]["found"][i, b]:
+                nb = codec.decode_strings(
+                    out["succ"]["packed"][i, b:b+1], dbg.k)[0]
+                bm = out["succ"]["bitmap"][i, b]
+                got = {g for g in range(dbg.nb_genomes)
+                       if (bm[g >> 5] >> np.uint32(g & 31)) & 1}
+                assert got == oracle.colors(nb), (km, nb)
+    assert set(dbg.successors(kms[0])) == set(oracle.successors(kms[0]))
+    assert set(dbg.predecessors(kms[0])) == set(oracle.predecessors(kms[0]))
+    s, p = dbg.neighbors_with_colors(kms[0])
+    for nb, ann in s + p:
+        assert set(ann.list_id_genomes().tolist()) == oracle.colors(nb)
+
+
+def test_sharded_subgraph(built):
+    dbg, oracle, _ = built
+    kms = sorted(oracle.all_kmers())[:40]
+    packed, _ = codec.encode_strings(kms, dbg.k)
+    sub = dbg.subgraph(packed, add_colors=True)
+    assert set(sub.extract_kmer_strings()) == set(kms)
+    for km in kms[:15]:
+        got = sub.get_colors(km)
+        assert set(got.list_id_genomes().tolist()) == oracle.colors(km)
+
+
+def test_sharded_class_size_stats(built):
+    """printMemory.c:68 analogue on the sharded index: histogram equals the
+    oracle's distinct-color-set sizes after compression."""
+    dbg, oracle, _ = built
+    dbg.compress_colors()
+    css = dbg.class_size_stats()
+    # shard dictionaries are per-shard: a color set shared by k-mers on S
+    # shards appears S times.  Count distinct sets per shard via the oracle.
+    from bloomfiltertrie_tpu.parallel.sharded import shard_of_keys
+    import jax.numpy as jnp
+    per_shard = {}
+    for km in oracle.all_kmers():
+        p, _ = codec.encode_strings([km], dbg.k)
+        s = int(np.asarray(shard_of_keys(jnp.asarray(p), dbg.config.shard_bits))[0])
+        per_shard.setdefault(s, set()).add(frozenset(oracle.colors(km)))
+    sizes = [len(cs) for sets in per_shard.values() for cs in sets]
+    want_hist = np.bincount(sizes)
+    assert css["biggest_class"] == max(sizes)
+    got = css["histogram"][: len(want_hist)]
+    np.testing.assert_array_equal(got, want_hist)
+    assert css["histogram"][len(want_hist):].sum() == 0
+    assert dbg.memory_stats()["biggest_class"] == css["biggest_class"]
