@@ -375,25 +375,40 @@ def _suffix_segment_or(head: jnp.ndarray, bits: tuple):
     """Per-row OR of ``bits`` over [row .. end of row's run].
 
     ``head`` marks run starts in a sorted array; at a head row the result is
-    the full run's OR.  Implemented as a manual log-step shift-OR (Hillis-
-    Steele over suffixes with a run-id guard): ceil(log2 T) rounds of
-    shift + compare + select — pure elementwise/pad/slice ops, O(T log T)
-    work, no gathers/scatters, and a compiler-friendly flat graph (an
-    associative_scan variant produced a recursive program the TPU compile
-    helper choked on at T~20M).
+    the full run's OR.  Implemented as a log-step shift-OR (Hillis-Steele
+    over suffixes with a run-id guard) — pure elementwise/slice ops, no
+    gathers/scatters (an associative_scan variant produced a recursive
+    program the TPU compile helper choked on at T~20M).
+
+    Rounds are bounded by the LONGEST RUN, not T: shifts >= the longest
+    run change nothing, and runs are key-multiplicity (how often one
+    (key, *) row repeats in the window buffer) — e.g. a 128-genome
+    pan-genome window needs ceil(log2 128) = 7 rounds, not log2 T = 23.
+    One cummax pass computes the bound and a while_loop stops there
+    (measured: the fixed-round scan was ~295 ms of a 9.4M-row config-5
+    flush — the single largest stage).
     """
     t_rows = head.shape[0]
     run = jnp.cumsum(head.astype(jnp.int32))   # run id per row (monotonic)
-    vals = list(bits)
-    s = 1
-    while s < t_rows:
-        run_s = jnp.concatenate([run[s:], jnp.full((s,), -1, jnp.int32)])
-        same = run_s == run
-        for j, v in enumerate(vals):
-            v_s = jnp.concatenate([v[s:], jnp.zeros((s,), v.dtype)])
-            vals[j] = v | jnp.where(same, v_s, 0)
-        s <<= 1
-    return tuple(vals)
+    iota = jnp.arange(t_rows, dtype=jnp.int32)
+    last_head = jax.lax.cummax(jnp.where(head, iota, -1))
+    maxrun = jnp.max(iota - last_head) + 1     # all-invalid => t_rows: safe
+
+    def cond(state):
+        s, _ = state
+        return s < maxrun
+
+    def body(state):
+        s, vals = state
+        in_range = iota + s < t_rows
+        run_s = jnp.roll(run, -s)
+        same = in_range & (run_s == run)
+        new = tuple(v | jnp.where(same, jnp.roll(v, -s), 0) for v in vals)
+        return s * 2, new
+
+    _, vals = jax.lax.while_loop(
+        cond, body, (jnp.asarray(1, jnp.int32), tuple(bits)))
+    return vals
 
 
 def flush_sort1(buf: PendingBuffer, used: jnp.ndarray, window: int):

@@ -36,12 +36,30 @@ from jax.experimental.pallas import tpu as pltpu
 
 from bloomfiltertrie_tpu.ops import sortedset as ss
 
-TILE = 2048     # table rows per grid step (lane-dim friendly)
+TILE = 2048     # max table rows per grid step (lane-dim friendly); the
+#                 eligibility unit — smaller adaptive tiles all divide it
 QMAX = 256      # default queries per chunk; see _pick_qmax
 FOUND_BIT = 30
 
 
-def _pick_qmax(cap: int, m: int) -> int:
+def _pick_tile(cap: int, m: int) -> int:
+    """Table rows per grid step, adapted to query density.
+
+    Per-query compute is ~tile * W compares, so DENSE probes (m ~ cap, the
+    flush's half-hit batch) want small tiles — measured 291 -> ~100 ms on
+    the 8.4M x 16M w=4 probe moving 2048 -> 512.  Every tile scans at
+    least one 128-query chunk, so SPARSE batches want big tiles (overscan
+    floor ~ n_tiles * 128 * tile * W is tile-independent, but grid/DMA
+    overheads aren't): pick the smallest tile whose average per-tile query
+    count still fills a 128-query chunk.
+    """
+    for t in (512, 1024):
+        if cap % t == 0 and m * t // max(cap, 1) >= 128:
+            return t
+    return TILE
+
+
+def _pick_qmax(cap: int, m: int, tile: int) -> int:
     """Queries per kernel chunk, adapted to query density.
 
     Bigger chunks amortize the per-chunk DMA latency — at m ~ cap the
@@ -49,13 +67,13 @@ def _pick_qmax(cap: int, m: int) -> int:
     tile scans at least ONE chunk, so a large chunk over-scans sparse
     batches (m << cap): clamp to the average per-tile query count.
     """
-    per_tile = max(m * TILE // max(cap, 1), 1)
+    per_tile = max(m * tile // max(cap, 1), 1)
     q = 1 << (per_tile - 1).bit_length()
     return max(128, min(q, 1024))
 
 
 def _rank_kernel(qs_ref, tile_ref, q_hbm, out_hbm, qbuf, obuf, sem_q, sem_o,
-                 *, w: int, qmax: int):
+                 *, w: int, qmax: int, tile: int):
     t = pl.program_id(0)
     start = qs_ref[t]
     end = qs_ref[t + 1]
@@ -74,16 +92,16 @@ def _rank_kernel(qs_ref, tile_ref, q_hbm, out_hbm, qbuf, obuf, sem_q, sem_o,
                                      sem_o)
         cp_o.start()
         cp.wait()
-        lt = jnp.zeros((qmax, TILE), dtype=jnp.bool_)
-        eq = jnp.ones((qmax, TILE), dtype=jnp.bool_)
+        lt = jnp.zeros((qmax, tile), dtype=jnp.bool_)
+        eq = jnp.ones((qmax, tile), dtype=jnp.bool_)
         for i in range(w):
-            trow = tile_ref[i, :][None, :]          # [1, TILE]
+            trow = tile_ref[i, :][None, :]          # [1, tile]
             qcol = qbuf[i, :][:, None]              # [QMAX, 1]
             lt = lt | (eq & (trow < qcol))
             eq = eq & (trow == qcol)
         cnt = jnp.sum(lt.astype(jnp.int32), axis=1)           # rows < query
         found = jnp.any(eq, axis=1)
-        packed = (t * TILE + cnt) | (found.astype(jnp.int32) << FOUND_BIT)
+        packed = (t * tile + cnt) | (found.astype(jnp.int32) << FOUND_BIT)
         j = off + jax.lax.broadcasted_iota(jnp.int32, (1, qmax), 1)
         keep = (j >= start) & (j < end)
         cp_o.wait()
@@ -114,12 +132,13 @@ def rank_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
     """
     cap, w = table_keys.shape
     m = queries.shape[0]
-    n_tiles = cap // TILE
-    qmax = _pick_qmax(cap, m)
+    tile = _pick_tile(cap, m)
+    n_tiles = cap // tile
+    qmax = _pick_qmax(cap, m, tile)
 
-    # Query-side tile assignment: qs[t] = #queries with rank < t*TILE
-    #                                   = #queries q <= table[t*TILE - 1].
-    boundaries = table_keys[TILE - 1::TILE][: n_tiles - 1]
+    # Query-side tile assignment: qs[t] = #queries with rank < t*tile
+    #                                   = #queries q <= table[t*tile - 1].
+    boundaries = table_keys[tile - 1::tile][: n_tiles - 1]
     qs_mid = ss.searchsorted(queries, boundaries, side="right")
     qs = jnp.concatenate([
         jnp.zeros((1,), jnp.int32), qs_mid.astype(jnp.int32),
@@ -134,7 +153,7 @@ def rank_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
         num_scalar_prefetch=1,
         grid=(n_tiles,),
         in_specs=[
-            pl.BlockSpec((w, TILE), lambda t, qs: (0, t)),
+            pl.BlockSpec((w, tile), lambda t, qs: (0, t)),
             pl.BlockSpec(memory_space=pltpu.HBM),
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
@@ -146,7 +165,7 @@ def rank_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_rank_kernel, w=w, qmax=qmax),
+        functools.partial(_rank_kernel, w=w, qmax=qmax, tile=tile),
         grid_spec=grid_spec,
         out_shape=jax.ShapeDtypeStruct((1, m + qmax), jnp.int32),
         interpret=interpret,

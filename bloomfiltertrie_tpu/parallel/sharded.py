@@ -946,12 +946,8 @@ class ShardedCDBG:
             return
         window = self.config.genome_window
         g0 = self._window_start if self._window_start is not None else 0
-        seeds = jnp.asarray(
-            [self.config.bloom_seed1, self.config.bloom_seed2],
-            dtype=jnp.uint32)
         a1_keys = ("skeys", "keep_key", "masks", "fidx")
         a_keys = ("skeys", "cls2", "mask2", "keep2", "fidx2", "src2")
-        group_keys = ("cls2", "mask2", "keep2", "fidx2", "src2")
         used = self._buf_used
         bufcap = self.buf_keys.shape[1]
         # Speculative fusion (models/cdbg.py flush rationale): predict from

@@ -323,8 +323,13 @@ def compare_config1():
 
 
 if __name__ == "__main__":
+    if QUICK:
+        log("== generating quick datasets ==")
+        quick_gen()
     for name, fn in [("2", compare_config2), ("3", compare_config3),
-                     ("4", compare_config4), ("1", compare_config1)]:
+                     ("4", compare_config4),
+                     ("4-sharded", compare_config4_sharded),
+                     ("1", compare_config1)]:
         log(f"== compare config {name} ==")
         fn()
     log("done")

@@ -57,10 +57,10 @@ def main():
     @jax.jit
     def gen_buffer(key):
         base = jax.random.bits(key, (distinct, w), jnp.uint32) & tailbits
-        keys = jnp.tile(base, (dup, 1))[:t_rows]
+        keys = jnp.tile(base, (dup + 1, 1))[:t_rows]
         # copy c of a key carries gid spread over the window
         gid = (jnp.arange(t_rows, dtype=jnp.int32) // distinct
-               * max(window // dup, 1)) % window
+               * max(window // (dup + 1), 1)) % window
         return keys, gid
 
     bkeys, bgid = gen_buffer(jax.random.PRNGKey(0))
@@ -123,6 +123,55 @@ def main():
     n_new = int(jax.device_get(a_out["n_new"]))
     budget = max(1024, 1 << (max(n_pairs - 1, 1)).bit_length())
     log(f"  n_pairs={n_pairs} n_new={n_new} budget={budget}")
+
+    # ---- split path: A1 (scan+probe) then A2 at h = pow2(n_heads) ----
+    def p_scan(skeys, sgid):
+        svalid = sgid < window
+        key_bound = jnp.concatenate([
+            jnp.ones((1,), bool), ~ss.mw_equal(skeys[1:], skeys[:-1])])
+        keep_key = key_bound & svalid
+        pair_bound = jnp.concatenate([
+            jnp.ones((1,), bool), key_bound[1:] | (sgid[1:] != sgid[:-1])])
+        keep_pair = pair_bound & svalid
+        bits = tuple(
+            jnp.where(keep_pair & ((sgid >> 5) == j),
+                      jnp.uint32(1) << (sgid & 31).astype(jnp.uint32),
+                      jnp.uint32(0)) for j in range(mw))
+        return tbl._suffix_segment_or(keep_key, bits)
+
+    def p_probe(tkeys, tn, skeys, svalid):
+        from bloomfiltertrie_tpu.ops import pallas_kernels as pk
+        return pk.rank_sorted(tkeys, tn, skeys, svalid)
+
+    timeit("scan_only", p_scan, skeys, sgid)
+    timeit("probe_only", p_probe, table.keys, table.n, skeys, sgid < window)
+
+    def p_a1(tb, skeys, sgid):
+        return tbl.flush_stage_a1_sorted(tb, skeys, sgid, window,
+                                         use_pallas=True)
+
+    a1 = timeit("stage_a1_sorted", p_a1, table, skeys, sgid)
+    n_heads = int(jax.device_get(a1["n_heads"]))
+    h = min(1 << (max(n_heads - 1, 1)).bit_length(), t_rows)
+    log(f"  n_heads={n_heads} h={h}")
+
+    def p_a2(cref, keep, masks, fidx):
+        return tbl.flush_stage_a2_impl(cref, keep, masks, fidx, h=h,
+                                       use_pallas=True)
+
+    a2 = timeit("stage_a2_compact", p_a2, table.color_ref, a1["keep_key"],
+                a1["masks"], a1["fidx"])
+
+    def p_b_h(tb, cl, skeys, cls2, mask2, keep2, fidx2, src2):
+        return tbl.flush_stage_b_impl(
+            tb, cl, jnp.zeros((1 << 19,), jnp.uint32),
+            skeys, cls2, mask2, keep2, fidx2, src2,
+            jnp.asarray(0, jnp.int32), 24,
+            jnp.uint32(1), jnp.uint32(2),
+            budget=budget, window=window, use_bloom=False, use_pallas=True)
+
+    timeit("stage_b_at_h", p_b_h, table, colors, a1["skeys"],
+           a2["cls2"], a2["mask2"], a2["keep2"], a2["fidx2"], a2["src2"])
 
     def p_full_b(tb, cl, skeys, cls2, mask2, keep2, fidx2, src2):
         return tbl.flush_stage_b_impl(

@@ -272,3 +272,29 @@ def test_flush_stage_a2_compact_paths(monkeypatch):
 
     assert live_rows(a_xla, h) == live_rows(a_pl, h)
     assert live_rows(a_xla, h) == live_rows(a_full, t_rows)
+
+
+@pytest.mark.parametrize("w", [2, 4])
+def test_rank_sorted_dense_small_tile(w):
+    """Dense batches (m ~ cap) pick the small adaptive tile — semantics
+    must match the XLA search exactly (the flush-probe shape)."""
+    rng = np.random.default_rng(40 + w)
+    cap = pk.TILE * 4
+    table, n = make_table(rng, cap, cap // 2, w)
+    m = cap  # dense: _pick_tile chooses 512
+    assert pk._pick_tile(cap, m) == 512
+    q = np.concatenate([
+        table[rng.integers(0, n, m // 2)],
+        rng.integers(0, 1 << 20, size=(m - m // 2, w), dtype=np.uint32)
+        .astype(np.uint32)])
+    q = q[np.lexsort(tuple(q[:, i] for i in reversed(range(w))))]
+    valid = np.ones(m, bool)
+    found_ref, _ = ss.lookup(jnp.asarray(table), jnp.asarray(n),
+                             jnp.asarray(q))
+    rank_ref = np.asarray(ss.searchsorted(jnp.asarray(table),
+                                          jnp.asarray(q)))
+    found, rank = pk.rank_sorted(jnp.asarray(table), jnp.asarray(n),
+                                 jnp.asarray(q), jnp.asarray(valid),
+                                 interpret=True)
+    np.testing.assert_array_equal(np.asarray(found), np.asarray(found_ref))
+    np.testing.assert_array_equal(np.asarray(rank), rank_ref)
