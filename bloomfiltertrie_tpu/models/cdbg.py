@@ -205,6 +205,8 @@ class BFTAnnotation:
 
 
 class ColoredDBG:
+    _pending_stats = None  # class default: getters safe before __init__ runs
+
     def __init__(self, config: BFTConfig):
         self.config = config
         self.genome_names: list[str] = []
@@ -218,6 +220,8 @@ class ColoredDBG:
         self._sd = 0          # host mirror of colors.sd (small classes)
         self._dd = 0          # host mirror of colors.dd (dense classes)
         self._small_full = 0  # live small classes at exactly S genomes
+        # (the four mirrors above are draining properties: reading one
+        # first fetches any stage-B stats still pending on device)
         self._genomes_since_compress = 0
         # Window-buffered insert state (tbl.PendingBuffer); created lazily on
         # the first insert so the chunk size can adapt to the input scale.
@@ -230,6 +234,9 @@ class ColoredDBG:
         self._window_start = None  # absolute gid of the window's 1st genome
         self._cur_gid = None      # open genome id (None between genomes)
         self._poisoned = False    # set if a flush contract check ever fails
+        self._pending_stats = None  # (device stats, n_pairs) of the last
+        #                             stage B, fetched lazily (one fewer
+        #                             host<->device round trip per flush)
         self.marking_enabled = False
         # Streaming Pallas kernels need a TPU backend and TILE-aligned
         # capacity (pow2 >= 2048 is always TILE-aligned).
@@ -262,6 +269,46 @@ class ColoredDBG:
     @property
     def k(self) -> int:
         return self.config.k
+
+    # Host count mirrors as DRAINING PROPERTIES: stage B's stats are
+    # fetched lazily (self._pending_stats), so any host read of a mirror
+    # must drain first.  Routing every read through these properties makes
+    # staleness impossible by construction (no call-site audit).
+    @property
+    def _n(self) -> int:
+        self._drain_stats()
+        return self._n_host
+
+    @_n.setter
+    def _n(self, v):
+        self._n_host = v
+
+    @property
+    def _sd(self) -> int:
+        self._drain_stats()
+        return self._sd_host
+
+    @_sd.setter
+    def _sd(self, v):
+        self._sd_host = v
+
+    @property
+    def _dd(self) -> int:
+        self._drain_stats()
+        return self._dd_host
+
+    @_dd.setter
+    def _dd(self, v):
+        self._dd_host = v
+
+    @property
+    def _small_full(self) -> int:
+        self._drain_stats()
+        return self._small_full_host
+
+    @_small_full.setter
+    def _small_full(self, v):
+        self._small_full_host = v
 
     @property
     def nb_genomes(self) -> int:
@@ -447,6 +494,33 @@ class ColoredDBG:
         self._buf_used += n_in
         self._genomes_since_compress += len(names)
 
+    def _apply_flush_stats(self, st, n_pairs):
+        self._n = int(st["n"])
+        self._sd = int(st["sd"])
+        self._dd = int(st["dd"])
+        self._small_full = int(st["small_full"])
+        if int(st["colored_small"]) + int(st["colored_dense"]) > n_pairs:
+            # Detected only after stage B ran on donated buffers: the
+            # in-memory index may be corrupt, so poison the instance — every
+            # later flush (and hence every read API) refuses to proceed.
+            self._poisoned = True
+            raise RuntimeError(
+                f"window-flush contract violated: "
+                f"{int(st['colored_small']) + int(st['colored_dense'])} new "
+                f"classes > {n_pairs} distinct pairs (corruption)")
+
+    def _drain_stats(self):
+        """Fetch the previous stage B's deferred stats (host mirrors +
+        contract check).  Runs before any host code that consumes the
+        mirrors — the start of every flush, including the early-return read
+        barrier — so observable state is identical to the eager fetch, one
+        round trip later."""
+        if self._pending_stats is None:
+            return
+        stats, n_pairs = self._pending_stats
+        self._pending_stats = None
+        self._apply_flush_stats(jax.device_get(stats), n_pairs)
+
     def flush(self):
         """Flush the pending window into the table (read barrier).
 
@@ -467,7 +541,9 @@ class ColoredDBG:
                 "consumed (in-memory state may be corrupt); rebuild or "
                 "reload from a checkpoint")
         if not self._buf_used or self.buf is None:
+            self._drain_stats()
             return
+        self._drain_stats()
         cfg = self.config
         g0 = self._window_start
         t_rows = self.buf.capacity
@@ -533,20 +609,7 @@ class ColoredDBG:
             budget=budget, window=cfg.genome_window,
             use_bloom=cfg.bloom_enabled,
             use_pallas=self._pallas_eligible())
-        st = jax.device_get(stats)
-        self._n = int(st["n"])
-        self._sd = int(st["sd"])
-        self._dd = int(st["dd"])
-        self._small_full = int(st["small_full"])
-        if int(st["colored_small"]) + int(st["colored_dense"]) > n_pairs:
-            # Detected only after stage B ran on donated buffers: the
-            # in-memory index may be corrupt, so poison the instance — every
-            # later flush (and hence every read API) refuses to proceed.
-            self._poisoned = True
-            raise RuntimeError(
-                f"window-flush contract violated: "
-                f"{int(st['colored_small']) + int(st['colored_dense'])} new "
-                f"classes > {n_pairs} distinct pairs (corruption)")
+        self._pending_stats = (stats, n_pairs)
         if _debug_invariants():
             self._check_invariants()
         if (cfg.treshold_compression > 0 and
@@ -627,7 +690,14 @@ class ColoredDBG:
         self.flush()
         self.table, self.colors, stats = tbl.compress_colors(
             self.table, self.colors)
-        st = jax.device_get(stats)
+        pend = self._pending_stats
+        self._pending_stats = None
+        if pend is not None:
+            # one round trip fetches the deferred flush stats AND ours
+            st_p, st = jax.device_get((pend[0], stats))
+            self._apply_flush_stats(st_p, pend[1])
+        else:
+            st = jax.device_get(stats)
         self._sd = int(st["sd"])
         self._dd = int(st["dd"])
         self._small_full = int(st["small_full"])

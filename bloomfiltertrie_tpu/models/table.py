@@ -898,7 +898,10 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
     if use_bloom:
         bloom_bits = bloom_ops.add(bloom_bits, skeys, isnew1,
                                    log2_bloom, seed1, seed2)
-    merged_starts = ss.build_bucket_starts(merged_keys, merged_n)
+    if use_pallas and table.capacity % pk.TILE == 0:
+        merged_starts = pk.bucket_starts_ranked(merged_keys, merged_n)
+    else:
+        merged_starts = ss.build_bucket_starts(merged_keys, merged_n)
 
     table = KmerTable(keys=merged_keys, color_ref=merged_cref,
                       flags=merged_flags, n=merged_n,

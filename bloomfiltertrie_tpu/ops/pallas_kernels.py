@@ -12,15 +12,20 @@ table once: tile t of the table is DMA'd to VMEM (auto-pipelined), its query
 window [qs[t], qs[t+1]) is DMA'd alongside, and an all-pairs lexicographic
 compare on the VPU yields every query's in-tile rank and equality in one
 pass.  Total traffic = table read + query read, at HBM bandwidth; total
-compute = cap * QMAX compares — VPU-bound, no latency rounds.
+compute ~ m * tile * W compares — VPU-bound, no latency rounds.
 
 Tiling contract:
   * table stored transposed [W, cap] so the lane dimension is the tile.
-  * queries transposed [W, M_pad], M_pad = M + QMAX sentinel padding.
+  * queries transposed [W, M_pad], M_pad = M + QD sentinel padding.
   * qs[t] = number of queries whose global rank < t*TILE (computed with a
-    cheap 16K-query XLA search over the *query* array).  A tile's chunks may
-    overwrite the head of the next tile's output range; the sequential TPU
-    grid guarantees tile t+1 rewrites those slots correctly afterwards.
+    cheap 16K-query XLA search over the *query* array).
+  * query traffic rides a WINDOW CACHE: queries and outputs move between
+    HBM and VMEM in QD-query windows that persist across grid steps (the
+    tile ranges [qs[t], qs[t+1]) are monotone, so each window is loaded
+    and written back exactly once per pass — ~m/QD DMA round trips total
+    instead of one per 256-query chunk, which made the dense w=4 probe
+    ~80% DMA-latency: 16K chunks x ~4.5 us).  Compute still runs in
+    QC-query sub-chunks against the resident table tile.
   * output int32 packs (rank | found << 30).
 """
 
@@ -38,81 +43,121 @@ from bloomfiltertrie_tpu.ops import sortedset as ss
 
 TILE = 2048     # max table rows per grid step (lane-dim friendly); the
 #                 eligibility unit — smaller adaptive tiles all divide it
-QMAX = 256      # default queries per chunk; see _pick_qmax
+QD = 2048       # queries per DMA window (the VMEM-resident query cache)
+QC = 256        # max queries per compute sub-chunk (see _pick_qc)
 FOUND_BIT = 30
 
 
-def _pick_tile(cap: int, m: int) -> int:
+def _pick_tile(cap: int, m: int, w: int) -> int:
     """Table rows per grid step, adapted to query density.
 
-    Per-query compute is ~tile * W compares, so DENSE probes (m ~ cap, the
-    flush's half-hit batch) want small tiles — measured 291 -> ~100 ms on
-    the 8.4M x 16M w=4 probe moving 2048 -> 512.  Every tile scans at
-    least one 128-query chunk, so SPARSE batches want big tiles (overscan
-    floor ~ n_tiles * 128 * tile * W is tile-independent, but grid/DMA
-    overheads aren't): pick the smallest tile whose average per-tile query
-    count still fills a 128-query chunk.
+    With query DMA amortized by the window cache, the trade is pure
+    compute vs grid-step overhead: per-query compute is ~tile * W
+    compares (DENSE probes want small tiles) while each grid step costs
+    ~0.3 us fixed (SPARSE probes want few, large tiles).  Pick the tile
+    minimizing n_steps * c_step + m * tile * W * c_cmp; constants fitted
+    on v5e (window-cache kernel, 16M-row table).
     """
-    for t in (512, 1024):
-        if cap % t == 0 and m * t // max(cap, 1) >= 128:
-            return t
-    return TILE
+    best, best_cost = TILE, None
+    for t in (512, 1024, 2048):
+        if cap % t != 0:
+            continue
+        cost = (cap // t) * 0.3e-6 + m * t * w * 3.2e-12
+        if best_cost is None or cost < best_cost:
+            best, best_cost = t, cost
+    return best
 
 
-def _pick_qmax(cap: int, m: int, tile: int) -> int:
-    """Queries per kernel chunk, adapted to query density.
-
-    Bigger chunks amortize the per-chunk DMA latency — at m ~ cap the
-    16Mx16M rank pass went ~155 -> ~5 ms moving 256 -> 1024 — but every
-    tile scans at least ONE chunk, so a large chunk over-scans sparse
-    batches (m << cap): clamp to the average per-tile query count.
-    """
-    per_tile = max(m * tile // max(cap, 1), 1)
-    q = 1 << (per_tile - 1).bit_length()
-    return max(128, min(q, 1024))
+def _pick_qc(cap: int, m: int) -> int:
+    """Compute sub-chunk size: the per-tile query-range width is ~m*tile/cap,
+    and a sub-chunk boundary wastes ~qc/2 queries of all-pairs compute per
+    tile, so halve the sub-chunk when ranges are narrower than QC*2
+    (measured: the half-dense w=4 probe 89 -> 78 ms at qc 256 -> 128, while
+    the fully dense w=2 probe prefers 256)."""
+    return QC if m >= cap else QC // 2
 
 
-def _rank_kernel(qs_ref, tile_ref, q_hbm, out_hbm, qbuf, obuf, sem_q, sem_o,
-                 *, w: int, qmax: int, tile: int):
+def _rank_kernel(qs_ref, tile_ref, q_hbm, out_hbm, qbuf, obuf, wstate,
+                 sem_q, sem_o, *, w: int, tile: int, n_tiles: int,
+                 qc: int = QC):
     t = pl.program_id(0)
     start = qs_ref[t]
     end = qs_ref[t + 1]
-    # Chunk windows are QMAX-aligned (DMA/layout constraint); the head of the
-    # first window may cover queries of earlier tiles, so output writes are
-    # read-modify-write with a [start, end) mask.  The sequential TPU grid
-    # makes the RMW race-free.
-    c_start = (start // qmax) * qmax
-    nchunks = (end - c_start + qmax - 1) // qmax
 
-    def chunk(c, carry):
-        off = c_start + c * qmax
-        cp = pltpu.make_async_copy(q_hbm.at[:, pl.ds(off, qmax)], qbuf, sem_q)
-        cp.start()
-        cp_o = pltpu.make_async_copy(out_hbm.at[:, pl.ds(off, qmax)], obuf,
-                                     sem_o)
-        cp_o.start()
-        cp.wait()
-        lt = jnp.zeros((qmax, tile), dtype=jnp.bool_)
-        eq = jnp.ones((qmax, tile), dtype=jnp.bool_)
-        for i in range(w):
-            trow = tile_ref[i, :][None, :]          # [1, tile]
-            qcol = qbuf[i, :][:, None]              # [QMAX, 1]
-            lt = lt | (eq & (trow < qcol))
-            eq = eq & (trow == qcol)
-        cnt = jnp.sum(lt.astype(jnp.int32), axis=1)           # rows < query
-        found = jnp.any(eq, axis=1)
-        packed = (t * tile + cnt) | (found.astype(jnp.int32) << FOUND_BIT)
-        j = off + jax.lax.broadcasted_iota(jnp.int32, (1, qmax), 1)
-        keep = (j >= start) & (j < end)
-        cp_o.wait()
-        obuf[:, :] = jnp.where(keep, packed[None, :], obuf[:, :])
-        cp2 = pltpu.make_async_copy(obuf, out_hbm.at[:, pl.ds(off, qmax)],
-                                    sem_o)
-        cp2.start()
-        cp2.wait()
+    @pl.when(t == 0)
+    def _():
+        wstate[0] = -1
+
+    # Windows are QD-aligned; tile ranges are monotone, so the window only
+    # advances.  A window flushes (pure write — its lanes partition across
+    # the tiles that touched it, each writing its own [start, end) slice
+    # into the VMEM copy) when the next window loads.
+    nwin = jnp.where(end > start, (end - 1) // QD - start // QD + 1, 0)
+
+    def window(wi, carry):
+        # wstate holds the window INDEX (offset // QD): Mosaic must prove
+        # dynamic HBM slice offsets 128-divisible, which it can for
+        # `idx * QD` but not for a raw offset loaded back from SMEM.
+        widx = start // QD + wi
+        wd = widx * QD
+        cur = wstate[0]
+
+        @pl.when(widx != cur)
+        def _():
+            @pl.when(cur >= 0)
+            def _():
+                cpo = pltpu.make_async_copy(
+                    obuf, out_hbm.at[:, pl.ds(cur * QD, QD)], sem_o)
+                cpo.start()
+                cpo.wait()
+            cpq = pltpu.make_async_copy(
+                q_hbm.at[:, pl.ds(wd, QD)], qbuf, sem_q)
+            cpq.start()
+            cpq.wait()
+            wstate[0] = widx
+
+        s = jnp.maximum(start, wd)
+        e = jnp.minimum(end, wd + QD)
+
+        # STATIC sub-chunk unroll: dynamic VMEM lane slices (pl.ds with a
+        # traced offset) lower to expensive shift machinery in Mosaic —
+        # static offsets with a pl.when predicate are ~free.
+        for sc in range(QD // qc):
+            qoff = sc * qc
+
+            @pl.when((wd + qoff < e) & (wd + qoff + qc > s))
+            def _(qoff=qoff):
+                lt = jnp.zeros((qc, tile), dtype=jnp.bool_)
+                eq = jnp.ones((qc, tile), dtype=jnp.bool_)
+                for i in range(w):
+                    trow = tile_ref[i, :][None, :]            # [1, tile]
+                    qcol = qbuf[i, qoff:qoff + qc][:, None]   # [qc, 1]
+                    lt = lt | (eq & (trow < qcol))
+                    eq = eq & (trow == qcol)
+                cnt = jnp.sum(lt.astype(jnp.int32), axis=1)   # rows < query
+                found = jnp.any(eq, axis=1)
+                packed = ((t * tile + cnt)
+                          | (found.astype(jnp.int32) << FOUND_BIT))
+                j = (wd + qoff
+                     + jax.lax.broadcasted_iota(jnp.int32, (1, qc), 1))
+                keep = (j >= start) & (j < end)
+                obuf[:, qoff:qoff + qc] = jnp.where(
+                    keep, packed[None, :], obuf[:, qoff:qoff + qc])
+
         return carry
 
-    jax.lax.fori_loop(0, nchunks, chunk, 0)
+    jax.lax.fori_loop(0, nwin, window, 0)
+
+    @pl.when(t == n_tiles - 1)
+    def _():
+        cur = wstate[0]
+
+        @pl.when(cur >= 0)
+        def _():
+            cpo = pltpu.make_async_copy(
+                obuf, out_hbm.at[:, pl.ds(cur * QD, QD)], sem_o)
+            cpo.start()
+            cpo.wait()
 
 
 @functools.partial(jax.jit, static_argnames=("interpret",))
@@ -132,9 +177,8 @@ def rank_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
     """
     cap, w = table_keys.shape
     m = queries.shape[0]
-    tile = _pick_tile(cap, m)
+    tile = _pick_tile(cap, m, w)
     n_tiles = cap // tile
-    qmax = _pick_qmax(cap, m, tile)
 
     # Query-side tile assignment: qs[t] = #queries with rank < t*tile
     #                                   = #queries q <= table[t*tile - 1].
@@ -145,8 +189,8 @@ def rank_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
         jnp.full((1,), m, jnp.int32)])
 
     q_pad = jnp.concatenate([
-        queries, jnp.full((qmax, w), ss.SENTINEL, dtype=jnp.uint32)])
-    q_t = q_pad.T                      # [W, M+QMAX]
+        queries, jnp.full((QD, w), ss.SENTINEL, dtype=jnp.uint32)])
+    q_t = q_pad.T                      # [W, M+QD]
     table_t = table_keys.T             # [W, cap]
 
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -158,16 +202,18 @@ def rank_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
         ],
         out_specs=pl.BlockSpec(memory_space=pltpu.HBM),
         scratch_shapes=[
-            pltpu.VMEM((w, qmax), jnp.uint32),
-            pltpu.VMEM((1, qmax), jnp.int32),
+            pltpu.VMEM((w, QD), jnp.uint32),
+            pltpu.VMEM((1, QD), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA,
         ],
     )
     out = pl.pallas_call(
-        functools.partial(_rank_kernel, w=w, qmax=qmax, tile=tile),
+        functools.partial(_rank_kernel, w=w, tile=tile, n_tiles=n_tiles,
+                          qc=_pick_qc(cap, m)),
         grid_spec=grid_spec,
-        out_shape=jax.ShapeDtypeStruct((1, m + qmax), jnp.int32),
+        out_shape=jax.ShapeDtypeStruct((1, m + QD), jnp.int32),
         interpret=interpret,
     )(qs, table_t, q_t)
 
@@ -176,6 +222,28 @@ def rank_sorted(table_keys: jnp.ndarray, n: jnp.ndarray,
     found = ((packed >> FOUND_BIT) & 1) == 1
     found = found & (rank < n) & valid
     return found, rank
+
+
+def bucket_starts_ranked(table_keys: jnp.ndarray, n: jnp.ndarray,
+                         interpret: bool = False):
+    """Prefix-bucket index rebuild through the streaming rank kernel.
+
+    ``ss.build_bucket_starts`` binary-searches 65536 bucket bounds — ~24
+    rounds of random gathers, measured ~53 ms at a 16M-row table on v5e.
+    The bounds are a SORTED query batch, so the rank kernel computes every
+    start in one table stream (~3 ms).  Same output contract as
+    ss.build_bucket_starts; caller must check cap % TILE == 0.
+    """
+    cap, w = table_keys.shape
+    bounds = jnp.zeros((ss.NB_BUCKETS, w), dtype=jnp.uint32)
+    bounds = bounds.at[:, 0].set(
+        jax.lax.broadcasted_iota(jnp.uint32, (ss.NB_BUCKETS, 1), 0)
+        .squeeze(-1) << jnp.uint32(16))
+    _, rank = rank_sorted(table_keys, n, bounds,
+                          jnp.ones((ss.NB_BUCKETS,), bool),
+                          interpret=interpret)
+    starts = jnp.minimum(rank, n)
+    return jnp.concatenate([starts, n[None].astype(jnp.int32)])
 
 
 def supported(table_keys, queries) -> bool:
@@ -307,8 +375,8 @@ def _bitonic_sort_chans(x, w: int):
     return x
 
 
-def _compact_kernel(offs_ref, x_hbm, out_hbm, buf, obuf, sem_i, sem_o, *,
-                    c: int):
+def _compact_kernel(offs_ref, x_hbm, out_hbm, buf, obuf, pbuf, sem_i,
+                    sem_o, *, c: int):
     """Pack each tile's live rows (liveness channel c-1: 0 live, 1 dead)
     to the front IN ORDER and write them at this tile's global live
     offset.  Dynamic HBM slices must be 128-aligned, so the write is a
@@ -332,20 +400,38 @@ def _compact_kernel(offs_ref, x_hbm, out_hbm, buf, obuf, sem_i, sem_o, *,
     cp.wait()
     x = buf[:, :]
     dead = x[c - 1: c, :] == 1
-    pos = jax.lax.broadcasted_iota(jnp.int32, (1, MTILE), 1)
-    key = jnp.where(dead, pos + MTILE, pos).astype(jnp.uint32)
-    x = jnp.where(dead, jnp.uint32(0xFFFFFFFF), x)
-    # place the sort key into channel 0 via a sublane mask (row slicing +
-    # re-concat leaves a sublane-offset layout Mosaic cannot re-concat);
-    # channel 0 (the merge dead flag) is reconstructed from the sorted key.
     subl = jax.lax.broadcasted_iota(jnp.int32, (c, MTILE), 0)
-    x = jnp.where(subl == 0, jnp.broadcast_to(key, (c, MTILE)), x)
-    x = _bitonic_sort_chans(x, 1)               # stable live-first order
-    ch0 = jnp.where(x[0:1, :] >= jnp.uint32(MTILE),
-                    jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
-    packed = jnp.where(subl == 0, jnp.broadcast_to(ch0, (c, MTILE)), x)
+    ndead = jnp.sum(dead.astype(jnp.int32))
+
+    # Uniform tiles skip the ~91-stage in-tile bitonic sort entirely —
+    # all-live is the identity partition, all-dead is pure sentinel (the
+    # dominant case when compacting a few new rows out of a big batch).
+    @pl.when(ndead == 0)
+    def _():
+        pbuf[:, :] = jnp.where(subl == 0, jnp.uint32(0), x)
+
+    @pl.when(ndead == MTILE)
+    def _():
+        pbuf[:, :] = jnp.full((c, MTILE), 0xFFFFFFFF, jnp.uint32)
+
+    @pl.when((ndead > 0) & (ndead < MTILE))
+    def _():
+        pos = jax.lax.broadcasted_iota(jnp.int32, (1, MTILE), 1)
+        key = jnp.where(dead, pos + MTILE, pos).astype(jnp.uint32)
+        xm = jnp.where(dead, jnp.uint32(0xFFFFFFFF), x)
+        # place the sort key into channel 0 via a sublane mask (row slicing
+        # + re-concat leaves a sublane-offset layout Mosaic cannot
+        # re-concat); channel 0 (the merge dead flag) is reconstructed from
+        # the sorted key.
+        xm = jnp.where(subl == 0, jnp.broadcast_to(key, (c, MTILE)), xm)
+        xm = _bitonic_sort_chans(xm, 1)         # stable live-first order
+        ch0 = jnp.where(xm[0:1, :] >= jnp.uint32(MTILE),
+                        jnp.uint32(0xFFFFFFFF), jnp.uint32(0))
+        pbuf[:, :] = jnp.where(subl == 0, jnp.broadcast_to(ch0, (c, MTILE)),
+                               xm)
+
     padded = jnp.concatenate(
-        [packed, jnp.full((c, 128), 0xFFFFFFFF, jnp.uint32)], axis=1)
+        [pbuf[:, :], jnp.full((c, 128), 0xFFFFFFFF, jnp.uint32)], axis=1)
     rolled = pltpu.roll(padded, d, 1)     # packed block lands at [d, d+MTILE)
     wpos = jax.lax.broadcasted_iota(jnp.int32, (1, wlen), 1)
     cp_o.wait()
@@ -358,6 +444,9 @@ def _compact_kernel(offs_ref, x_hbm, out_hbm, buf, obuf, sem_i, sem_o, *,
 
 def _merge_kernel(asplit_ref, a_hbm, brev_hbm, out_ref, abuf, bbuf, sem_a,
                   sem_b, *, w: int, lb: int, g: int):
+    """asplit has g+1 entries: asplit[t+1]-asplit[t] = this tile's A rows,
+    so pure-A tiles (the dominant case when few new rows merge into a big
+    table) skip the log2(2*MTILE)-stage merge network and copy a_win."""
     """One output tile of the merge path: window of A (ascending) ++ window
     of pre-REVERSED B (descending) is bitonic; the merge network's first
     MTILE lanes are the tile's rows.  Windows load from 128-aligned
@@ -405,11 +494,19 @@ def _merge_kernel(asplit_ref, a_hbm, brev_hbm, out_ref, abuf, bbuf, sem_a,
     # rotate left by the sub-alignment delta: desired window lands at [0, MTILE)
     a_win = pltpu.roll(abuf[slot], (wlen - (a0 - a_al)) % wlen,
                        1)[:, :MTILE]
-    b_win = pltpu.roll(bbuf[slot], (wlen - (bs - b_al)) % wlen,
-                       1)[:, :MTILE]
-    x = jnp.concatenate([a_win, b_win], axis=1)               # bitonic
-    merged = _bitonic_merge_chans(x, w)
-    out_ref[:, :] = merged[:, :MTILE]
+    take_a = asplit_ref[t + 1] - a0
+
+    @pl.when(take_a == MTILE)
+    def _():
+        out_ref[:, :] = a_win
+
+    @pl.when(take_a != MTILE)
+    def _():
+        b_win = pltpu.roll(bbuf[slot], (wlen - (bs - b_al)) % wlen,
+                           1)[:, :MTILE]
+        x = jnp.concatenate([a_win, b_win], axis=1)           # bitonic
+        merged = _bitonic_merge_chans(x, w)
+        out_ref[:, :] = merged[:, :MTILE]
 
 
 def compact_rows(stacked: jnp.ndarray, interpret: bool = False):
@@ -438,6 +535,7 @@ def compact_rows(stacked: jnp.ndarray, interpret: bool = False):
             scratch_shapes=[
                 pltpu.VMEM((c, MTILE), jnp.uint32),
                 pltpu.VMEM((c, MTILE + 128), jnp.uint32),
+                pltpu.VMEM((c, MTILE), jnp.uint32),
                 pltpu.SemaphoreType.DMA,
                 pltpu.SemaphoreType.DMA,
             ]),
@@ -487,7 +585,9 @@ def merge_path(a_stacked: jnp.ndarray, b_stacked: jnp.ndarray,
         raise ValueError(
             f"merge_path: B too thin ({lb} cols; need >= {MTILE + 256})")
     nb = jnp.minimum(jnp.asarray(nb, jnp.int32), lb - MTILE - 256)
-    o = jnp.arange(g, dtype=jnp.int32) * MTILE
+    # g+1 split points: entry t is the number of A rows among the first
+    # t*MTILE output rows; the kernel reads t and t+1 to detect pure-A tiles
+    o = jnp.arange(g + 1, dtype=jnp.int32) * MTILE
     lo = jnp.maximum(0, o - nb)
     # clamp so the 128-aligned-down window never reads past the padding
     hi = jnp.minimum(o, la - MTILE - 128)
@@ -496,8 +596,8 @@ def merge_path(a_stacked: jnp.ndarray, b_stacked: jnp.ndarray,
         lo, hi = lohi
         mid = (lo + hi) >> 1
         bidx = jnp.maximum(o - mid - 1, 0)
-        a_lt = jnp.zeros((g,), dtype=jnp.bool_)
-        eq = jnp.ones((g,), dtype=jnp.bool_)
+        a_lt = jnp.zeros((g + 1,), dtype=jnp.bool_)
+        eq = jnp.ones((g + 1,), dtype=jnp.bool_)
         for i in range(w):
             av = a_stacked[i, mid]
             bv = b_stacked[i, bidx]

@@ -57,10 +57,12 @@ if not os.path.exists(REF):
     # Rebuild the reference binary from the committed harness.
     print(f"{REF} missing; building via scripts/refbuild/build.sh",
           file=sys.stderr, flush=True)
+    # Keep this script's stdout JSON-only: the build chatter (patch/make)
+    # goes to stderr so consumers can parse every stdout line as a row.
     subprocess.run(
         ["bash", os.path.join(os.path.dirname(os.path.abspath(__file__)),
                               "refbuild", "build.sh")],
-        check=True)
+        check=True, stdout=sys.stderr, stderr=sys.stderr)
 
 
 def log(m):

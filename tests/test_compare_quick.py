@@ -31,7 +31,8 @@ def test_compare_reference_quick():
         capture_output=True, text=True, cwd=REPO, env=env, timeout=870)
     assert p.returncode == 0, (p.stdout[-2000:], p.stderr[-2000:])
     import json
-    rows = [json.loads(l) for l in p.stdout.splitlines() if l.strip()]
+    rows = [json.loads(l) for l in p.stdout.splitlines()
+            if l.strip().startswith("{")]
     by = {(r["config"], r.get("engine", "single")): r for r in rows}
     assert by[(2, "single")]["query_csv_byte_equal"]
     assert by[(2, "single")]["kmer_set_equal"]

@@ -52,7 +52,7 @@ def test_rank_sorted_clustered_queries():
     table, n = make_table(rng, cap, cap // 2, w)
     # every query inside the key range of a single tile
     lo = pk.TILE + 5
-    m = pk.QMAX * 3 + 7
+    m = pk.QC * 3 + 7
     q = np.repeat(table[lo][None, :], m, axis=0)
     q[:, 1] = np.sort(rng.integers(0, 1 << 32, size=m, dtype=np.uint32).astype(np.uint32))
     order = np.lexsort((q[:, 1], q[:, 0]))
@@ -281,8 +281,8 @@ def test_rank_sorted_dense_small_tile(w):
     rng = np.random.default_rng(40 + w)
     cap = pk.TILE * 4
     table, n = make_table(rng, cap, cap // 2, w)
-    m = cap  # dense: _pick_tile chooses 512
-    assert pk._pick_tile(cap, m) == 512
+    m = cap  # dense: _pick_tile chooses the smallest tile
+    assert pk._pick_tile(cap, m, w) == 512
     q = np.concatenate([
         table[rng.integers(0, n, m // 2)],
         rng.integers(0, 1 << 20, size=(m - m // 2, w), dtype=np.uint32)
@@ -298,3 +298,16 @@ def test_rank_sorted_dense_small_tile(w):
                                  interpret=True)
     np.testing.assert_array_equal(np.asarray(found), np.asarray(found_ref))
     np.testing.assert_array_equal(np.asarray(rank), rank_ref)
+
+
+def test_bucket_starts_ranked_interpret():
+    """Kernel-backed prefix-index rebuild == ss.build_bucket_starts."""
+    rng = np.random.default_rng(11)
+    w = 2
+    cap = pk.TILE * 4
+    table, n = make_table(rng, cap, cap // 2, w, hi=1 << 32)
+    nj = jnp.asarray(n, jnp.int32)
+    ref = np.asarray(ss.build_bucket_starts(jnp.asarray(table), nj))
+    got = np.asarray(pk.bucket_starts_ranked(jnp.asarray(table), nj,
+                                             interpret=True))
+    np.testing.assert_array_equal(got, ref)
