@@ -231,6 +231,7 @@ class ColoredDBG:
         self._buf_used = 0        # host-tracked rows in use
         self._chunk = None        # append chunk row size
         self._head_frac = None    # last flush's n_heads/used (split pick)
+        self._last_heads = None   # last flush's n_heads (speculative A2 h)
         self._window_start = None  # absolute gid of the window's 1st genome
         self._cur_gid = None      # open genome id (None between genomes)
         self._poisoned = False    # set if a flush contract check ever fails
@@ -583,16 +584,38 @@ class ColoredDBG:
             self.buf = None  # donated to stage A1
             self._buf_used = 0
             self._window_start = None
-            n_heads, n_new = (int(x) for x in jax.device_get(
-                (a1["n_heads"], a1["n_new"])))
-            self._ensure_table(n_new)
-            h = min(_next_pow2(max(n_heads, 1024)), t_rows)
-            groups = tbl.flush_stage_a2(
-                self.table.color_ref, a1["keep_key"], a1["masks"],
-                a1["fidx"], h=h, use_pallas=self._pallas_eligible())
-            n_pairs = int(jax.device_get(groups["n_pairs"]))
+            if self._last_heads is not None:
+                # SPECULATIVE h: dispatch A2 at a width predicted from the
+                # last flush without waiting for A1's scalars — the A1 sync
+                # and A2 sync collapse into one round trip (~20-25 ms each
+                # over a tunneled link).  A2 does not donate here, so a
+                # mis-prediction (n_heads > h) just reruns it at the exact
+                # width — time lost, never correctness.
+                h = min(_next_pow2(max(int(self._last_heads * 1.25), 1024)),
+                        t_rows)
+                groups = tbl.flush_stage_a2_spec(
+                    self.table.color_ref, a1["keep_key"], a1["masks"],
+                    a1["fidx"], h=h, use_pallas=self._pallas_eligible())
+                n_heads, n_new, n_pairs = (int(x) for x in jax.device_get(
+                    (a1["n_heads"], a1["n_new"], groups["n_pairs"])))
+                if n_heads > h:
+                    h = min(_next_pow2(max(n_heads, 1024)), t_rows)
+                    groups = tbl.flush_stage_a2(
+                        self.table.color_ref, a1["keep_key"], a1["masks"],
+                        a1["fidx"], h=h, use_pallas=self._pallas_eligible())
+                    n_pairs = int(jax.device_get(groups["n_pairs"]))
+            else:
+                n_heads, n_new = (int(x) for x in jax.device_get(
+                    (a1["n_heads"], a1["n_new"])))
+                self._ensure_table(n_new)
+                h = min(_next_pow2(max(n_heads, 1024)), t_rows)
+                groups = tbl.flush_stage_a2(
+                    self.table.color_ref, a1["keep_key"], a1["masks"],
+                    a1["fidx"], h=h, use_pallas=self._pallas_eligible())
+                n_pairs = int(jax.device_get(groups["n_pairs"]))
             skeys = a1["skeys"]
         self._head_frac = n_heads / max(used, 1)
+        self._last_heads = n_heads
         self._ensure_table(n_new)
         # Each distinct (class, mask) pair spawns at most one child class,
         # in either pool — the stage-A count makes the contract exact.

@@ -677,6 +677,13 @@ flush_stage_a2 = functools.partial(
     jax.jit, static_argnames=("h", "use_pallas"), donate_argnums=(1, 2, 3)
 )(flush_stage_a2_impl)
 
+# Non-donating variant for the SPECULATIVE flush: the host dispatches A2 at
+# a predicted h without waiting for A1's n_heads scalar (one host<->device
+# round trip saved per flush); if the prediction was too small the inputs
+# are still alive and A2 simply reruns at the exact h.
+flush_stage_a2_spec = functools.partial(
+    jax.jit, static_argnames=("h", "use_pallas"))(flush_stage_a2_impl)
+
 
 def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
                        bloom_bits: jnp.ndarray,

@@ -50,12 +50,19 @@ def section_config5(emit: bool = True):
 
     # Bulk ingest: generate + append 32 genomes per dispatch, one window
     # flush per genome_window=256 genomes (the multi-genome window flush).
-    gb = 16                                   # genomes per generated chunk
+    gb = 128                                  # genomes per generated chunk
+    # One gen + one bulk-append dispatch per 128-genome window (each
+    # tunneled dispatch costs ~15-25 ms on the wire), and batch_size =
+    # chunk_rows with pending_runs=1 makes the flush buffer EXACTLY one
+    # window (9.44M rows) — every flush-stage sort/scan/probe runs at the
+    # minimum static shape.  Color compression every other window (the
+    # reference compresses once per build, src/file_io.c:192-193; each
+    # compress costs a dispatch + an O(table) color_ref rewrite).
     chunk_rows = gb * per_genome
     cfg = BFTConfig(k=k, initial_capacity=1 << 24,
                     initial_color_capacity=1 << 16,
-                    bloom_log2_bits=24, batch_size=1 << 23, pending_runs=5,
-                    genome_window=128, treshold_compression=4)
+                    bloom_log2_bits=24, batch_size=chunk_rows, pending_runs=1,
+                    genome_window=128, treshold_compression=256)
     dbg = ColoredDBG(cfg)
     # Pre-size the color bitmap width for the final genome count: the flush
     # program is shape-specialized on cw, so growing width on the fly would
@@ -128,10 +135,9 @@ def section_config5(emit: bool = True):
                           core_keys, cluster_keys)
         dbg.insert_genomes_bulk([f"g{g}" for g in range(base, base + gb)],
                                 batch, row_gid, valid_rows)
-        if base % 160 == 0:
-            marks.append((base + gb, round(time.monotonic() - t0, 1)))
-            log(f"  genome {base + gb}/{n_genomes}: "
-                f"t={time.monotonic()-t0:.0f}s")
+        marks.append((base + gb, round(time.monotonic() - t0, 2)))
+        log(f"  genome {base + gb}/{n_genomes}: "
+            f"t={time.monotonic()-t0:.1f}s")
     dbg.flush()
     dt = time.monotonic() - t0
     log(f"  built: n={dbg.nb_kmers} d={dbg.nb_color_classes} t={dt:.1f}s")
