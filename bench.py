@@ -128,8 +128,12 @@ def main():
     # reduction.  The transfer-inclusive number is reported separately: it
     # moves 5 MiB/1M queries over the host link, which over this tunnel
     # measures the link, not the engine (see BASELINE.md SoL table).
+    # 4M-query batch: the per-dispatch host sync costs a ~20-25 ms round
+    # trip over this tunnel, which dominates a 1M-query dispatch (~12 ms of
+    # device work) and under-reports the engine by ~3x; bulk scoring
+    # pipelines hold millions of windows per dispatch.
     queries = jnp.concatenate(
-        [data[: batch // 2], data2[total // 2: total // 2 + batch // 2]])
+        [data[: 2 * batch], data2[total // 2: total // 2 + 2 * batch]])
     jax.block_until_ready(queries)
     m_q = queries.shape[0]
 

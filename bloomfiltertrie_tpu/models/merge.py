@@ -234,6 +234,24 @@ def _shard_views(b):
                        :max(b._dd, 1)])
 
 
+def _masks_fn(window: int):
+    """Cached jit of the per-shard window-mask computation: a fresh jit per
+    merge call would re-trace and re-load the program every time."""
+    import functools
+
+    import jax
+    fn = _MASKS_FN_CACHE.get(window)
+    if fn is None:
+        fn = jax.jit(jax.vmap(
+            functools.partial(_window_masks_impl, window=window),
+            in_axes=(0, 0, 0, 0, None)))
+        _MASKS_FN_CACHE[window] = fn
+    return fn
+
+
+_MASKS_FN_CACHE: dict = {}
+
+
 def merge_into_sharded(a, b):
     """Union ``b`` into the ShardedCDBG ``a`` IN PLACE (component #23 at
     mesh scale — reference intent ``merging_BFT`` src/merge.c:3-400 /
@@ -280,9 +298,7 @@ def merge_into_sharded(a, b):
         rows3 = b.colors.rows[None]
         n3 = b.table.n[None]
 
-    masks_fn = jax.jit(
-        jax.vmap(functools.partial(_window_masks_impl, window=bwin),
-                 in_axes=(0, 0, 0, 0, None)))
+    masks_fn = _masks_fn(bwin)
     for wlo in range(0, gb, bwin):
         masks, valid = masks_fn(cref3, ids3, rows3, n3,
                                 jnp.asarray(wlo, jnp.int32))

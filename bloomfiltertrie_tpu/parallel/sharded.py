@@ -49,6 +49,9 @@ from bloomfiltertrie_tpu.ops import bloom as bloom_ops
 from bloomfiltertrie_tpu.ops import codec
 from bloomfiltertrie_tpu.ops import sortedset as ss
 
+# shared compiled-program cache across engine instances (see _cached)
+_FN_CACHE_GLOBAL: dict = {}
+
 AXIS = "shards"
 
 
@@ -659,14 +662,36 @@ class ShardedCDBG:
                 out_shardings=None):
         full_key = (kind,) + tuple(key)
         fn = self._fn_cache.get(full_key)
-        if fn is None:
-            kwargs = {}
-            if donate:
-                kwargs["donate_argnums"] = (0,)
-            if out_shardings is not None:
-                kwargs["out_shardings"] = out_shardings
-            fn = jax.jit(builder(), **kwargs)
+        if fn is not None:
+            return fn
+        # Cross-instance reuse: the compiled program depends only on the
+        # shapes/statics in ``key``, the mesh, and config statics — all in
+        # the global key below.  Without this, every fresh engine instance
+        # (merge feeds, serving pools, benchmarks) re-traces and re-loads
+        # every shard_map program (~seconds each over a remote link).
+        import dataclasses as _dc
+        try:
+            osk = out_shardings
+            if isinstance(osk, dict):
+                osk = tuple(sorted(osk.items()))
+            gkey = full_key + (self.mesh, _dc.astuple(self.config),
+                               donate, osk)
+            hash(gkey)
+        except TypeError:
+            gkey = None
+        if gkey is not None and gkey in _FN_CACHE_GLOBAL:
+            fn = _FN_CACHE_GLOBAL[gkey]
             self._fn_cache[full_key] = fn
+            return fn
+        kwargs = {}
+        if donate:
+            kwargs["donate_argnums"] = (0,)
+        if out_shardings is not None:
+            kwargs["out_shardings"] = out_shardings
+        fn = jax.jit(builder(), **kwargs)
+        self._fn_cache[full_key] = fn
+        if gkey is not None:
+            _FN_CACHE_GLOBAL[gkey] = fn
         return fn
 
     @property

@@ -55,14 +55,16 @@ def section_config5(emit: bool = True):
     # tunneled dispatch costs ~15-25 ms on the wire), and batch_size =
     # chunk_rows with pending_runs=1 makes the flush buffer EXACTLY one
     # window (9.44M rows) — every flush-stage sort/scan/probe runs at the
-    # minimum static shape.  Color compression every other window (the
-    # reference compresses once per build, src/file_io.c:192-193; each
-    # compress costs a dispatch + an O(table) color_ref rewrite).
+    # minimum static shape.  Color compression runs ONCE, after the last
+    # genome, inside the timed region — exactly the reference build driver
+    # (compress_annotations_disk after the final genome,
+    # src/file_io.c:192-193); each compress costs a dispatch plus an
+    # O(table) color_ref rewrite, so a per-window cadence double-counts it.
     chunk_rows = gb * per_genome
     cfg = BFTConfig(k=k, initial_capacity=1 << 24,
                     initial_color_capacity=1 << 16,
                     bloom_log2_bits=24, batch_size=chunk_rows, pending_runs=1,
-                    genome_window=128, treshold_compression=256)
+                    genome_window=128, treshold_compression=0)
     dbg = ColoredDBG(cfg)
     # Pre-size the color bitmap width for the final genome count: the flush
     # program is shape-specialized on cw, so growing width on the fly would
@@ -125,6 +127,7 @@ def section_config5(emit: bool = True):
             [f"x{g}" for g in range(base, base + gb)], b, row_gid,
             valid_rows)
     scratch.flush()
+    scratch.compress_colors()   # warm the compression programs too
     del scratch
     log("  warm; building...")
 
@@ -139,6 +142,7 @@ def section_config5(emit: bool = True):
         log(f"  genome {base + gb}/{n_genomes}: "
             f"t={time.monotonic()-t0:.1f}s")
     dbg.flush()
+    dbg.compress_colors()       # end-of-build dictionary compression
     dt = time.monotonic() - t0
     log(f"  built: n={dbg.nb_kmers} d={dbg.nb_color_classes} t={dt:.1f}s")
 
