@@ -232,6 +232,8 @@ class ColoredDBG:
         self._chunk = None        # append chunk row size
         self._head_frac = None    # last flush's n_heads/used (split pick)
         self._last_heads = None   # last flush's n_heads (speculative A2 h)
+        self._last_pairs = None   # last flush's n_pairs (speculative B
+        #                           budget; BFT_SPEC_FLUSH=0 disables)
         self._window_start = None  # absolute gid of the window's 1st genome
         self._cur_gid = None      # open genome id (None between genomes)
         self._poisoned = False    # set if a flush contract check ever fails
@@ -525,7 +527,14 @@ class ColoredDBG:
     def flush(self):
         """Flush the pending window into the table (read barrier).
 
-        Three jitted stages (tbl.flush_stage_a1/a2/b) with two host syncs:
+        Once predictions from a previous flush exist, the whole flush
+        dispatches with ZERO blocking host round trips: stage B runs
+        speculatively on device copies at a predicted budget and the one
+        scalar sync only verifies the exact contracts afterwards (see the
+        comment at the speculation site below).
+
+        Exact (first-flush) flow — three jitted stages
+        (tbl.flush_stage_a1/a2/b) with two host syncs:
         stage A1 sorts the buffer, builds per-key genome-set masks, probes
         the table and counts the EXACT number of distinct keys (heads) and
         new keys; the host sizes the table and A2's compact width h from
@@ -562,28 +571,56 @@ class ColoredDBG:
         split = (self._head_frac is not None
                  and _next_pow2(max(int(self._head_frac * used * 1.25), 1024))
                  <= t_rows // 2)
+        pallas = self._pallas_eligible()
+
+        def dispatch_b(table, colors, bloom, groups, budget):
+            return tbl.flush_stage_b(
+                table, colors, bloom,
+                skeys, groups["cls2"], groups["mask2"], groups["keep2"],
+                groups["fidx2"], groups["src2"],
+                jnp.asarray(g0, jnp.int32),
+                cfg.bloom_log2_bits,
+                jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
+                jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32),
+                budget=budget, window=cfg.genome_window,
+                use_bloom=cfg.bloom_enabled,
+                use_pallas=pallas)
+
+        # SPECULATIVE stage B (zero host round trips per flush): when the
+        # previous flush's counts are known, stage B is dispatched right
+        # behind stage A at a budget predicted from the last flush — on
+        # DEVICE COPIES of (table, colors, bloom), so the donating program
+        # is reused (no extra compile) while the originals stay alive.  The
+        # single scalar sync then VERIFIES the exact contracts (budget >=
+        # n_pairs, table/pool headroom, and h >= n_heads on the split
+        # path); a mis-prediction discards the speculative outputs and
+        # reruns stage B exactly on the originals — time lost, never
+        # correctness.  BFT_SPEC_FLUSH=0 disables the speculation.
+        spec_b = (self._last_pairs is not None
+                  and os.environ.get("BFT_SPEC_FLUSH", "1") != "0")
+        h = t_rows
         if not split:
             a_out = tbl.flush_stage_a(
                 self.table, self.buf,
                 jnp.asarray(used, jnp.int32),
                 window=cfg.genome_window,
-                use_pallas=self._pallas_eligible())
+                use_pallas=pallas)
             self.buf = None  # donated
             self._buf_used = 0
             self._window_start = None
-            n_pairs, n_new, n_heads = (int(x) for x in jax.device_get(
-                (a_out["n_pairs"], a_out["n_new"], a_out["n_heads"])))
             skeys = a_out["skeys"]
             groups = a_out
+            scalars = (a_out["n_heads"], a_out["n_new"], a_out["n_pairs"])
         else:
             a1 = tbl.flush_stage_a1(
                 self.table, self.buf,
                 jnp.asarray(used, jnp.int32),
                 window=cfg.genome_window,
-                use_pallas=self._pallas_eligible())
+                use_pallas=pallas)
             self.buf = None  # donated to stage A1
             self._buf_used = 0
             self._window_start = None
+            skeys = a1["skeys"]
             if self._last_heads is not None:
                 # SPECULATIVE h: dispatch A2 at a width predicted from the
                 # last flush without waiting for A1's scalars — the A1 sync
@@ -595,43 +632,63 @@ class ColoredDBG:
                         t_rows)
                 groups = tbl.flush_stage_a2_spec(
                     self.table.color_ref, a1["keep_key"], a1["masks"],
-                    a1["fidx"], h=h, use_pallas=self._pallas_eligible())
-                n_heads, n_new, n_pairs = (int(x) for x in jax.device_get(
-                    (a1["n_heads"], a1["n_new"], groups["n_pairs"])))
-                if n_heads > h:
-                    h = min(_next_pow2(max(n_heads, 1024)), t_rows)
-                    groups = tbl.flush_stage_a2(
-                        self.table.color_ref, a1["keep_key"], a1["masks"],
-                        a1["fidx"], h=h, use_pallas=self._pallas_eligible())
-                    n_pairs = int(jax.device_get(groups["n_pairs"]))
+                    a1["fidx"], h=h, use_pallas=pallas)
+                scalars = (a1["n_heads"], a1["n_new"], groups["n_pairs"])
             else:
-                n_heads, n_new = (int(x) for x in jax.device_get(
-                    (a1["n_heads"], a1["n_new"])))
-                self._ensure_table(n_new)
+                groups = None
+                spec_b = False
+                scalars = None
+        spec_out = None
+        if spec_b and groups is not None:
+            budget_pred = max(1024, _next_pow2(max(self._last_pairs, 1)))
+            spec_out = dispatch_b(
+                jax.tree_util.tree_map(lambda x: x.copy(), self.table),
+                jax.tree_util.tree_map(lambda x: x.copy(), self.colors),
+                self.bloom.copy(), groups, budget_pred)
+        if scalars is not None:
+            n_heads, n_new, n_pairs = (int(x) for x in
+                                       jax.device_get(scalars))
+        else:
+            # first flush of the split path: exact two-sync flow
+            n_heads, n_new = (int(x) for x in jax.device_get(
+                (a1["n_heads"], a1["n_new"])))
+            self._ensure_table(n_new)
+            h = min(_next_pow2(max(n_heads, 1024)), t_rows)
+            groups = tbl.flush_stage_a2(
+                self.table.color_ref, a1["keep_key"], a1["masks"],
+                a1["fidx"], h=h, use_pallas=pallas)
+            n_pairs = int(jax.device_get(groups["n_pairs"]))
+        self._head_frac = n_heads / max(used, 1)
+        self._last_heads = n_heads
+        budget = max(1024, _next_pow2(max(n_pairs, 1)))
+        spec_ok = (
+            spec_out is not None
+            and n_heads <= h
+            and budget_pred >= n_pairs
+            and self.table.capacity - self._n >= n_new
+            and self.colors.small_capacity - self._sd >= n_pairs
+            and self.colors.capacity - self._dd >= n_pairs)
+        if spec_ok:
+            self.table, self.colors, self.bloom, stats = spec_out
+        else:
+            spec_out = None  # discard mispredicted outputs (copies donated)
+            if split and n_heads > h:
+                # the speculative A2 dropped heads past h, so its n_pairs is
+                # an undercount — rerun at the exact width and re-sync
                 h = min(_next_pow2(max(n_heads, 1024)), t_rows)
                 groups = tbl.flush_stage_a2(
                     self.table.color_ref, a1["keep_key"], a1["masks"],
-                    a1["fidx"], h=h, use_pallas=self._pallas_eligible())
+                    a1["fidx"], h=h, use_pallas=pallas)
                 n_pairs = int(jax.device_get(groups["n_pairs"]))
-            skeys = a1["skeys"]
-        self._head_frac = n_heads / max(used, 1)
-        self._last_heads = n_heads
-        self._ensure_table(n_new)
-        # Each distinct (class, mask) pair spawns at most one child class,
-        # in either pool — the stage-A count makes the contract exact.
-        self._ensure_colors(n_pairs, n_pairs)
-        budget = max(1024, _next_pow2(max(n_pairs, 1)))
-        self.table, self.colors, self.bloom, stats = tbl.flush_stage_b(
-            self.table, self.colors, self.bloom,
-            skeys, groups["cls2"], groups["mask2"], groups["keep2"],
-            groups["fidx2"], groups["src2"],
-            jnp.asarray(g0, jnp.int32),
-            cfg.bloom_log2_bits,
-            jnp.asarray(cfg.bloom_seed1, dtype=jnp.uint32),
-            jnp.asarray(cfg.bloom_seed2, dtype=jnp.uint32),
-            budget=budget, window=cfg.genome_window,
-            use_bloom=cfg.bloom_enabled,
-            use_pallas=self._pallas_eligible())
+                budget = max(1024, _next_pow2(max(n_pairs, 1)))
+            self._ensure_table(n_new)
+            # Each distinct (class, mask) pair spawns at most one child
+            # class, in either pool — the stage-A count makes the contract
+            # exact.
+            self._ensure_colors(n_pairs, n_pairs)
+            self.table, self.colors, self.bloom, stats = dispatch_b(
+                self.table, self.colors, self.bloom, groups, budget)
+        self._last_pairs = n_pairs
         self._pending_stats = (stats, n_pairs)
         if _debug_invariants():
             self._check_invariants()

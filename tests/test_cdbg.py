@@ -551,3 +551,67 @@ def test_query_sequences_batch_blocking(built):
     a = dbg.query_sequences_batch(seqs, 0.7, False)
     b = dbg.query_sequences_batch(seqs, 0.7, False, max_windows=32)
     assert (a == b).all()
+
+
+def _distinct_kmers(rng, k, n):
+    """n distinct random k-mers (as strings)."""
+    out = set()
+    while len(out) < n:
+        out.add(random_genome(rng, k))
+    return sorted(out)
+
+
+def test_flush_speculative_mispredict_fallback():
+    """The speculative stage-B flush must fall back EXACTLY on mispredicts.
+
+    Window 1 is duplicate-heavy and tiny (5 genomes x the same 200 k-mers),
+    so the next flush predicts a small head count (h = 1024) and takes the
+    split A1/A2 path.  Window 2 holds 1,300 distinct keys — n_heads > h
+    forces the exact A2 rerun (with its n_pairs re-sync) — and overflows
+    the initial table capacity, so the table-headroom check also rejects
+    the speculative stage B.  Oracle equality proves the fallback path is
+    bit-exact; a rerun with BFT_SPEC_FLUSH=0 proves speculation never
+    changes results.
+    """
+    rng = np.random.default_rng(31)
+    k = 9
+    shared = _distinct_kmers(rng, k, 200)
+    big = _distinct_kmers(rng, k, 1300)
+
+    def build():
+        cfg = small_config(k, initial_capacity=1 << 9,
+                           batch_size=256, pending_runs=16,
+                           genome_window=32)
+        dbg = ColoredDBG(cfg)
+        for i in range(5):
+            dbg.insert_kmer_strings(f"s{i}", shared)
+        dbg.flush()                      # window 1: learns predictions
+        dbg.insert_kmer_strings("b0", big)
+        dbg.insert_kmer_strings("b1", big[:900])
+        dbg.flush()                      # window 2: h + headroom mispredict
+        return dbg
+
+    oracle = OracleBFT(k)
+    for i in range(5):
+        oracle.insert_genome(f"s{i}", shared)
+    oracle.insert_genome("b0", big)
+    oracle.insert_genome("b1", big[:900])
+
+    dbg = build()
+    assert set(dbg.extract_kmer_strings()) == oracle.all_kmers()
+    probe = shared[:40] + big[:40] + big[1200:]
+    for km in probe:
+        got = set(dbg.get_colors(km).list_id_genomes().tolist())
+        assert got == oracle.colors(km), km
+
+    import os
+    os.environ["BFT_SPEC_FLUSH"] = "0"
+    try:
+        dbg_off = build()
+    finally:
+        del os.environ["BFT_SPEC_FLUSH"]
+    assert set(dbg_off.extract_kmer_strings()) == oracle.all_kmers()
+    for km in probe:
+        a = set(dbg_off.get_colors(km).list_id_genomes().tolist())
+        b = set(dbg.get_colors(km).list_id_genomes().tolist())
+        assert a == b, km
