@@ -718,17 +718,19 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
     idx2 = (fidx2 & jnp.uint32(0x7FFFFFFF)).astype(jnp.int32)
 
     # ---- compact distinct (class, mask) pairs into [a] ----
-    # ONE h-sized scatter (head positions); every per-pair column then
-    # arrives via an a-sized gather — big scatters are latency-bound
-    # (~0.5-1 GB/s), so collapsing 1+mw of them to 1 is a direct win
-    # (scripts/profile_window_flush.py).
+    # hpos[g] = head row of pair g.  run2 = cumsum(keep2) - 1 is
+    # non-decreasing and first reaches g exactly at pair g's head row, so
+    # hpos is an a-width binary search over run2 — TPU scatters cost ~9 ns
+    # PER UPDATE regardless of how many land (a serialized loop), so the
+    # old h-update head-position scatter burned ~110 ms at h = 16M while
+    # this searchsorted is sub-ms; every per-pair column then arrives via
+    # an a-sized gather (scripts/profile_window_flush.py, /tmp knockouts).
     run2 = jnp.cumsum(keep2.astype(jnp.int32)) - 1
-    dest = jnp.where(keep2, run2, a)
-    pos2 = jnp.arange(h, dtype=jnp.int32)
-    hpos = jnp.full((a,), h - 1, dtype=jnp.int32).at[dest].set(
-        pos2, mode="drop")
-    u_live_row = jnp.arange(a, dtype=jnp.int32) < jnp.sum(
-        keep2.astype(jnp.int32))
+    hpos = jnp.minimum(
+        jnp.searchsorted(run2, jnp.arange(a, dtype=jnp.int32),
+                         side="left").astype(jnp.int32),
+        h - 1)
+    u_live_row = jnp.arange(a, dtype=jnp.int32) < run2[-1] + 1
     u_cls = jnp.where(u_live_row, cls2[hpos], INT32_MAX)
     u_mask = [jnp.where(u_live_row, mask2[hpos, j], jnp.uint32(0))
               for j in range(mw)]
@@ -869,9 +871,16 @@ def flush_stage_b_impl(table: KmerTable, colors: ColorStore,
     isnew2 = live2 & ~found2
     # FOUND rows: idx2 (the table row of each found head) is already in
     # sort-2 order, so the color_ref rewrite scatters directly — no need to
-    # route ``changed``/``idx`` through the unsort.
-    cref = table.color_ref.at[
-        jnp.where(changed2, idx2, table.capacity)].set(per_row, mode="drop")
+    # route ``changed``/``idx`` through the unsort.  The scatter costs ~9 ns
+    # per UPDATE row (h of them) even when every index drops, so skip the
+    # whole pass when no found pair gained a bit this window — true for
+    # every first window of a build (the table is empty: nothing is found).
+    cref = jax.lax.cond(
+        jnp.any(changed2),
+        lambda c: c.at[jnp.where(changed2, idx2, table.capacity)].set(
+            per_row, mode="drop"),
+        lambda c: c,
+        table.color_ref)
 
     # NEW rows: their class id must align with skeys (sort-1 order) for the
     # merge payload.  Compacted inputs (h < T): one h-sized scatter through
