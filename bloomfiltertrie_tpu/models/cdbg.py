@@ -101,30 +101,26 @@ def _presence_only(table_keys, n, starts, queries, valid, use_pallas=False,
                    queries_sorted)
 
 
-@functools.partial(jax.jit, static_argnames=("use_pallas",))
+@functools.partial(jax.jit, static_argnames=("use_pallas", "block"))
 def _seq_query_counts(table_keys, n, starts, color_ref, colors, packed,
-                      valid, seq_starts, seq_ends, use_pallas=False):
+                      valid, seq_starts, seq_ends, use_pallas=False,
+                      block=1):
     """Per-(sequence, genome) k-mer hit counts in ONE device program.
 
     ``packed``/``valid`` hold the CONCATENATED windows of many sequences
     (sequence s owns rows [seq_starts[s], seq_ends[s])); the counts come
     from an exclusive cumulative sum of the per-window color bits read at
     the segment boundaries — contiguous segments need no scatter-add.
-    Returns int32[S, cw*32].  The batched redesign of the reference's
-    per-sequence probe loop (src/bft.c:1241, src/file_io.c:1464).
+    ``block > 1`` requires block-aligned boundaries (the batcher pads with
+    invalid rows) and block-reduces the count chain
+    (:func:`table.segment_bit_counts`).  Returns int32[S, cw*32].  The
+    batched redesign of the reference's per-sequence probe loop
+    (src/bft.c:1241, src/file_io.c:1464).
     """
     found, idx = _lookup(table_keys, n, starts, packed, valid, use_pallas)
     cls = jnp.where(found, color_ref[idx], -1)
     bitmap = tbl.class_bitmap(colors, cls)          # [M, cw]
-    cw = bitmap.shape[1]
-    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :]
-    outs = []
-    for c in range(cw):
-        bits = ((bitmap[:, c: c + 1] >> shifts) & 1).astype(jnp.int32)
-        cum = jnp.concatenate(
-            [jnp.zeros((1, 32), jnp.int32), jnp.cumsum(bits, axis=0)])
-        outs.append(cum[seq_ends] - cum[seq_starts])   # [S, 32]
-    return jnp.concatenate(outs, axis=1)
+    return tbl.segment_bit_counts(bitmap, seq_starts, seq_ends, block)
 
 
 @jax.jit
@@ -135,25 +131,46 @@ def _color_counts(bitmap):
     return jnp.sum(bits.astype(jnp.int32), axis=0).reshape(-1)
 
 
+def _seq_block_size(k: int, sequences) -> int:
+    """Count-chain block size for :func:`_seq_batch_blocks`: large blocks
+    make the device count pass ~block times cheaper but pad every sequence
+    to a block multiple, so scale with the average sequence length (three
+    values keep the compile count bounded)."""
+    nw = [len(s) - k + 1 for s in sequences]
+    nw = [x for x in nw if x > 0]
+    avg = (sum(nw) / len(nw)) if nw else 0
+    return 64 if avg >= 256 else (8 if avg >= 16 else 1)
+
+
 def _seq_batch_blocks(k: int, words: int, sequences, canonical: bool,
-                      max_windows: int):
+                      max_windows: int, block: int = 1):
     """Host-side batching for the multi-sequence query (shared by
     ColoredDBG and ShardedCDBG): kmerize every sequence, group into blocks
     of <= max_windows concatenated windows, pow2-pad block shapes (bounded
-    compile count).  Yields (seq_indices, packed, valid, starts, ends,
-    nwins) per block; sequences shorter than k are skipped (their rows stay
-    all-zero, reference empty/IUPAC row semantics)."""
+    compile count).  Each sequence's rows are padded (invalid, zero
+    contribution) to a multiple of ``block`` so every segment boundary is
+    block-aligned — the contract of the block-reduced device count
+    (:func:`table.segment_bit_counts`).  Yields (seq_indices, packed,
+    valid, starts, ends, nwins) per block; sequences shorter than k are
+    skipped (their rows stay all-zero, reference empty/IUPAC row
+    semantics)."""
+
+    def pad_to_block(x):
+        return -(-x // block) * block
 
     def finish(blk):
         nwins = np.array([b[3] for b in blk], dtype=np.int64)
-        ends_raw = np.cumsum(nwins)
-        starts_raw = ends_raw - nwins
+        pwins = np.array([pad_to_block(int(x)) for x in nwins],
+                         dtype=np.int64)
+        ends_raw = np.cumsum(pwins)
+        starts_raw = ends_raw - pwins
         m = int(ends_raw[-1])
-        mp = _next_pow2(m)
+        mp = max(_next_pow2(m), block)
         packed = np.zeros((mp, words), np.uint32)
         valid = np.zeros((mp,), bool)
-        packed[:m] = np.concatenate([b[1] for b in blk])
-        valid[:m] = np.concatenate([b[2] for b in blk])
+        for (_, p, v, nwin), st in zip(blk, starts_raw):
+            packed[st: st + nwin] = p
+            valid[st: st + nwin] = v
         s_pad = _next_pow2(len(blk))
         starts = np.zeros((s_pad,), np.int32)
         ends = np.zeros((s_pad,), np.int32)
@@ -171,11 +188,11 @@ def _seq_batch_blocks(k: int, words: int, sequences, canonical: bool,
         packed, valid = codec.kmerize_sequence(seq, k)
         if canonical:
             packed = codec.canonical_packed(packed, k)
-        if blk and blk_rows + nwin > max_windows:
+        if blk and blk_rows + pad_to_block(nwin) > max_windows:
             yield finish(blk)
             blk, blk_rows = [], 0
         blk.append((si, np.asarray(packed), np.asarray(valid), nwin))
-        blk_rows += nwin
+        blk_rows += pad_to_block(nwin)
     if blk:
         yield finish(blk)
 
@@ -994,15 +1011,16 @@ class ColoredDBG:
         self.flush()
         g = self.nb_genomes
         rows = np.zeros((len(sequences), max(g, 1)), dtype=np.uint8)
+        block = _seq_block_size(self.k, sequences)
         for sis, packed, valid, starts, ends, nwins in _seq_batch_blocks(
                 self.k, self.config.words, sequences, canonical_search,
-                max_windows):
+                max_windows, block):
             counts = np.asarray(jax.device_get(_seq_query_counts(
                 self.table.keys, self.table.n, self.table.bucket_starts,
                 self.table.color_ref, self.colors,
                 jnp.asarray(packed), jnp.asarray(valid),
                 jnp.asarray(starts), jnp.asarray(ends),
-                use_pallas=self._pallas_eligible())))
+                use_pallas=self._pallas_eligible(), block=block)))
             need = np.ceil(nwins * threshold).astype(np.int64)
             hit = counts[: len(sis), : rows.shape[1]] >= need[:, None]
             rows[np.asarray(sis)] = hit.astype(np.uint8)

@@ -226,9 +226,22 @@ def class_bitmap(colors: ColorStore, cls: jnp.ndarray) -> jnp.ndarray:
     dense_bm = jnp.where(is_dense[:, None],
                          colors.rows[jnp.where(is_dense, cls & ~DENSE_TAG, 0)],
                          0)
-    srow = jnp.where(is_small[:, None],
-                     colors.ids[jnp.where(is_small, cls, 0)], EMPTY_ID)
-    return dense_bm | ids_to_bitmap(srow, cw)
+    scap = colors.ids.shape[0]
+    if cls.shape[0] >= scap:
+        # Bulk batches: expand the WHOLE small pool once (scap*S*cw VPU
+        # ops) and gather rows — per-row work drops from S*cw elementwise
+        # ops to one [cw]-row gather (profile: 50 -> ~10 ms per 1M rows,
+        # scripts/profile_seqquery.py).  Cheaper than per-row expansion
+        # whenever m >= scap; both branches are exact.
+        small_bits = ids_to_bitmap(colors.ids, cw)          # [scap, cw]
+        small_bm = jnp.where(is_small[:, None],
+                             small_bits[jnp.where(is_small, cls, 0)],
+                             jnp.uint32(0))
+    else:
+        srow = jnp.where(is_small[:, None],
+                         colors.ids[jnp.where(is_small, cls, 0)], EMPTY_ID)
+        small_bm = ids_to_bitmap(srow, cw)
+    return dense_bm | small_bm
 
 
 def class_sizes(colors: ColorStore, cls: jnp.ndarray) -> jnp.ndarray:
@@ -242,6 +255,46 @@ def class_sizes(colors: ColorStore, cls: jnp.ndarray) -> jnp.ndarray:
     dense_n = jnp.sum(jax.lax.population_count(drow).astype(jnp.int32),
                       axis=-1)
     return jnp.where(is_dense, dense_n, jnp.where(is_small, small_n, 0))
+
+
+def segment_bit_counts(bitmap: jnp.ndarray, starts: jnp.ndarray,
+                       ends: jnp.ndarray, block: int = 1) -> jnp.ndarray:
+    """Per-segment per-genome-bit counts over contiguous row segments.
+
+    ``counts[s, g]`` = number of rows in ``[starts[s], ends[s])`` of
+    ``bitmap`` (uint32[m, cw]) with genome bit ``g`` set — the count core of
+    the batched sequence query (reference scores one sequence at a time,
+    src/bft.c:1241; here S sequences' concatenated windows score in one
+    pass).  Contiguous segments need no scatter: counts read off an
+    exclusive cumulative sum at the boundaries.
+
+    ``block > 1`` requires every boundary to be a multiple of ``block``
+    (the host batcher pads each sequence's windows with invalid rows, which
+    contribute zero): bits are summed within blocks first, so the
+    cumulative-sum chain runs over m/block rows instead of m — measured
+    113 -> ~30 ms per 1M x 1024-bit rows (scripts/profile_seqquery.py).
+    """
+    m, cw = bitmap.shape
+    shifts = jnp.arange(32, dtype=jnp.uint32)
+    outs = []
+    if block > 1:
+        nb = m // block
+        blk = bitmap.reshape(nb, block, cw)
+        for c in range(cw):
+            bits = ((blk[:, :, c][:, :, None] >> shifts[None, None, :]) & 1
+                    ).astype(jnp.int32)
+            part = jnp.sum(bits, axis=1)                       # [nb, 32]
+            cum = jnp.concatenate(
+                [jnp.zeros((1, 32), jnp.int32), jnp.cumsum(part, axis=0)])
+            outs.append(cum[ends // block] - cum[starts // block])
+    else:
+        for c in range(cw):
+            bits = ((bitmap[:, c: c + 1] >> shifts[None, :]) & 1
+                    ).astype(jnp.int32)
+            cum = jnp.concatenate(
+                [jnp.zeros((1, 32), jnp.int32), jnp.cumsum(bits, axis=0)])
+            outs.append(cum[ends] - cum[starts])
+    return jnp.concatenate(outs, axis=1)
 
 
 def count_small_full(colors: ColorStore) -> jnp.ndarray:

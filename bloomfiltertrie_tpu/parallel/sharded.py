@@ -322,25 +322,20 @@ def _query_body(keys, cref, ids, sd, rows, dd, n, starts, queries, valid, *,
 
 
 def _seq_counts_body(keys, cref, ids, sd, rows, dd, n, starts, queries,
-                     valid, seq_starts, seq_ends, *, use_pallas: bool = False):
+                     valid, seq_starts, seq_ends, *, use_pallas: bool = False,
+                     block: int = 1):
     """Per-(sequence, genome) hit counts over concatenated windows, sharded:
-    each shard answers for its own key range, the per-window color bitmaps
-    psum over the mesh, and segment counts read off an exclusive cumsum at
-    the sequence boundaries (models/cdbg.py _seq_query_counts)."""
+    each shard counts its own key range's hits LOCALLY (the block-reduced
+    count of models/table.py segment_bit_counts), and only the small
+    [S, cw*32] count matrices psum over the mesh — cw*32/block times less
+    collective traffic than psumming the per-window bitmaps."""
     found, idx = _shard_lookup(keys[0], n[0], starts[0], queries, valid,
                                use_pallas)
     cls = jnp.where(found, cref[0][idx], -1)
     colors = tbl.ColorStore(ids=ids[0], rows=rows[0], sd=sd[0], dd=dd[0])
-    bitmap = jax.lax.psum(tbl.class_bitmap(colors, cls), AXIS)
-    cw = bitmap.shape[1]
-    shifts = jnp.arange(32, dtype=jnp.uint32)[None, :]
-    outs = []
-    for c in range(cw):
-        bits = ((bitmap[:, c: c + 1] >> shifts) & 1).astype(jnp.int32)
-        cum = jnp.concatenate(
-            [jnp.zeros((1, 32), jnp.int32), jnp.cumsum(bits, axis=0)])
-        outs.append(cum[seq_ends] - cum[seq_starts])
-    return jnp.concatenate(outs, axis=1)
+    bitmap = tbl.class_bitmap(colors, cls)
+    counts = tbl.segment_bit_counts(bitmap, seq_starts, seq_ends, block)
+    return jax.lax.psum(counts, AXIS)
 
 
 def _branching_body(keys, n, starts, queries, valid, *, k: int,
@@ -1300,7 +1295,8 @@ class ShardedCDBG:
         rows, identical semantics to ColoredDBG.query_sequences_batch
         (reference src/bft.c:1241 / src/file_io.c:1464, scored in one
         sharded device program per ~max_windows concatenated windows)."""
-        from bloomfiltertrie_tpu.models.cdbg import _seq_batch_blocks
+        from bloomfiltertrie_tpu.models.cdbg import (_seq_batch_blocks,
+                                                     _seq_block_size)
         if not (0 < threshold <= 1):
             raise ValueError("threshold must be in (0, 1]")
         if canonical_search is None:
@@ -1308,16 +1304,18 @@ class ShardedCDBG:
         self.flush()
         g = self.nb_genomes
         rows_out = np.zeros((len(sequences), max(g, 1)), dtype=np.uint8)
+        block = _seq_block_size(self.k, sequences)
         for sis, packed, valid, starts, ends, nwins in _seq_batch_blocks(
                 self.k, self.config.words, sequences, canonical_search,
-                max_windows):
+                max_windows, block):
             fn = self._cached(
                 "seq_counts", (self.keys.shape, self.ids.shape,
                                self.rows.shape, packed.shape, starts.shape,
-                               self._pallas_eligible()),
+                               self._pallas_eligible(), block),
                 lambda: jax.shard_map(
                     functools.partial(_seq_counts_body,
-                                      use_pallas=self._pallas_eligible()),
+                                      use_pallas=self._pallas_eligible(),
+                                      block=block),
                     mesh=self.mesh, check_vma=False,
                     in_specs=(P(AXIS),) * 8 + (P(), P(), P(), P()),
                     out_specs=P()))

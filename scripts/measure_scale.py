@@ -172,8 +172,9 @@ def section_config5(emit: bool = True):
     q_rate = m_q / best_q
 
     from bloomfiltertrie_tpu.models.cdbg import _seq_query_counts
-    n_seq, wins = 1024, 1024          # 1M windows across 1024 "sequences"
-    m2 = n_seq * wins
+    n_seq, wins = 4096, 1024          # 4M windows across 4096 "sequences"
+    m2 = n_seq * wins                 # (4M amortizes the ~20-25 ms
+    #                                    tunneled-dispatch floor, like bench)
     seq_q = jnp.concatenate([dbg.table.keys[: m2 // 2],
                              rand_keys(jax.random.PRNGKey(998), m2 - m2 // 2)])
     perm = jax.random.permutation(jax.random.PRNGKey(997), m2)
@@ -187,7 +188,7 @@ def section_config5(emit: bool = True):
         counts = _seq_query_counts(
             dbg.table.keys, dbg.table.n, dbg.table.bucket_starts,
             dbg.table.color_ref, dbg.colors, seq_q, svalid, sstart, send,
-            use_pallas=dbg._pallas_eligible())
+            use_pallas=dbg._pallas_eligible(), block=64)
         return jnp.sum(counts[:, 0])
     jax.device_get(seq_query())       # compile + warm
     best_s = 1e9

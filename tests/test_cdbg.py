@@ -553,6 +553,24 @@ def test_query_sequences_batch_blocking(built):
     assert (a == b).all()
 
 
+def test_query_sequences_batch_block_aligned(built):
+    """Long average sequences pick the 64-row count block; ragged lengths
+    (incl. non-multiples of 64 and an empty row) must still match the
+    per-sequence path exactly — the block padding contributes zero."""
+    from bloomfiltertrie_tpu.models.cdbg import _seq_block_size
+    dbg, oracle, genomes = built
+    seqs = [genomes["g0"] + genomes["g1"],        # long, odd window count
+            genomes["g2"][: 37 + dbg.k - 1],      # 37 windows (not 64-mult)
+            "",                                    # empty
+            genomes["g1"] + genomes["g1"][::-1] + genomes["g0"]]
+    assert _seq_block_size(dbg.k, seqs) == 64
+    rows = dbg.query_sequences_batch(seqs, 0.6, False)
+    for i, seq in enumerate(seqs):
+        want = np.zeros((dbg.nb_genomes,), np.uint8)
+        want[dbg.query_sequence(seq, 0.6, False)] = 1
+        assert (rows[i] == want).all(), i
+
+
 def _distinct_kmers(rng, k, n):
     """n distinct random k-mers (as strings)."""
     out = set()
