@@ -153,7 +153,9 @@ def section_config5(emit: bool = True):
     # ~1 MB/s host->device link is an environment property (PCIe hosts
     # stream batches at GB/s); the host-side kmerize cost is measured by
     # bench.py's parser figures. ----
-    m_q = 1 << 20
+    m_q = 1 << 22                         # 4M: amortizes the ~20-25 ms
+    #                                       tunneled-dispatch floor (bench.py
+    #                                       uses the same batch size)
     half = dbg.table.keys[: m_q // 2]     # hits (table is > m_q/2 full)
     miss = rand_keys(jax.random.PRNGKey(999), m_q - m_q // 2)
     queries = jnp.concatenate([half, miss])
